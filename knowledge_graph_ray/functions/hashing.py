@@ -1,0 +1,54 @@
+"""Stable, vectorized 64-bit hashing used for every shuffle key.
+
+All dedup / canonicalization shuffles key on a deterministic 64-bit
+hash of a normalized string (SURVEY.md §2.7 D1/D4; north rule
+``groupby(surface_hash)``). Requirements: stable across processes and
+runs (no PYTHONHASHSEED dependence), vectorized over Arrow string
+arrays, cheap.
+
+We use ``pandas.util.hash_array`` (SipHash-1-3 with a fixed key),
+which is deterministic, C-implemented, and operates on whole arrays.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+# Fixed SipHash key — pandas' documented default, pinned here so a
+# pandas default change can never silently re-key our shuffles.
+_HASH_KEY = "0123456789123456"
+
+
+def hash64_array(values: pa.Array | pa.ChunkedArray | np.ndarray | list) -> np.ndarray:
+    """Vectorized stable uint64 hash of a string column."""
+    if isinstance(values, (pa.Array, pa.ChunkedArray)):
+        values = values.to_numpy(zero_copy_only=False)
+    arr = np.asarray(values, dtype=object)
+    return pd.util.hash_array(arr, hash_key=_HASH_KEY, categorize=False)
+
+
+def hash64(value: str) -> int:
+    """Scalar stable uint64 hash (same function as hash64_array)."""
+    return int(hash64_array([value])[0])
+
+
+def stable_digest(value: bytes | str) -> int:
+    """md5-based stable 64-bit digest — used where a second independent
+    hash family is needed (e.g. salting, minhash seeds)."""
+    if isinstance(value, str):
+        value = value.encode("utf-8")
+    return int.from_bytes(hashlib.md5(value).digest()[:8], "little")
+
+
+def combine_hashes(*cols: np.ndarray) -> np.ndarray:
+    """Combine several uint64 hash columns into one (order-sensitive),
+    e.g. hash(subj,pred,obj) for triple dedup (SURVEY.md D1)."""
+    out = np.zeros(len(cols[0]), dtype=np.uint64)
+    mult = np.uint64(0x9E3779B97F4A7C15)  # golden-ratio mix
+    for c in cols:
+        out = (out * mult) ^ c.astype(np.uint64)
+    return out

@@ -1,0 +1,314 @@
+"""Deterministic synthetic Common-Crawl-style corpus (FIXTURES.md §1).
+
+Generates the canonical input table from BASELINE.json input_hint:
+``pages(url:string, warc_ts:timestamp[us], html:binary, text:string,
+lang:string)`` plus the side tables the KG pipeline needs
+(``entities``, ``aliases``) and the golden outputs the conformance
+tests compare against (``mentions``, ``triples``).
+
+Design properties:
+- seed-stable: page i depends only on (seed, i) — scaling the corpus
+  up is a strict superset (prefix property), so sf tiers agree.
+- the golden ``text`` column is produced by the engine's own frozen
+  extractor (functions/extract.py) at generation time — the
+  byte-identical invariant is then pinned by the checked-in golden
+  parquet fixture in tests/fixtures/.
+- entity surfaces and SVO sentences come from fixed templates, so NER
+  and OpenIE have exactly computable expected outputs.
+- ~30% of pages share boilerplate header/footer blocks and some pages
+  are full near-duplicates of earlier ones (reference near-dup
+  semantics, remove_duplicate_paragraphs.py:104-132).
+- one hot entity (ORG 0) appears in a large share of mentions —
+  exercises salted groupby(surface_hash) skew handling (north rule).
+
+No wall-clock, no unseeded RNG anywhere.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+import pyarrow as pa
+
+from knowledge_graph_ray.functions.extract import extract_text
+from knowledge_graph_ray.functions.hashing import stable_digest
+
+EMBED_DIM = 64
+N_PERSONS = 40
+N_ORGS = 30
+N_CITIES = 12
+
+PERSON_ID_BASE = 1_000
+ORG_ID_BASE = 2_000
+
+CITIES = [f"City{k}" for k in range(N_CITIES)]
+
+# (template, predicate, subj_kind, obj_kind); obj_kind 'org'/'person'/'city'
+SVO_TEMPLATES = [
+    ("{s} leads {o}.", "leads", "person", "org"),
+    ("{s} works for {o}.", "works_for", "person", "org"),
+    ("{s} advises {o}.", "advises", "person", "org"),
+    ("{s} acquired {o}.", "acquired", "org", "org"),
+    ("{s} partnered with {o}.", "partnered_with", "org", "org"),
+    ("{s} is located in {o}.", "located_in", "org", "city"),
+    ("{s} met {o}.", "met", "person", "person"),
+]
+
+FILLER = {
+    "da": [
+        "Det er ikke en overraskelse at rapporten blev udgivet.",
+        "Udvalget behandlede sagen på mødet og det tog lang tid.",
+        "Der er ikke truffet en afgørelse i sagen endnu.",
+        "Ministeren svarede på spørgsmålet i folketingssalen.",
+    ],
+    "en": [
+        "The quarterly report was published without any delay.",
+        "The committee discussed the matter and the meeting was long.",
+        "No decision has been made on the case so far.",
+        "The minister answered the question during the session.",
+    ],
+    "de": [
+        "Der Bericht wurde nicht ohne eine lange Diskussion veröffentlicht.",
+        "Der Ausschuss hat die Sache und nicht den Bericht behandelt.",
+        "Eine Entscheidung wurde in der Sache noch nicht getroffen.",
+        "Der Minister hat die Frage und der Bericht beantwortet.",
+    ],
+}
+
+HEADER = "Site navigation Home About Contact Login"
+FOOTER = "Copyright Example Site All rights reserved Privacy Terms"
+
+
+def person_name(k: int) -> str:
+    return f"Pera{k} Sonsen{k}"
+
+
+def org_name(k: int) -> str:
+    return f"Orga {k}"
+
+
+def org_aliases(k: int) -> list[str]:
+    # dot-free variants: the reference-style sentence splitter cuts on
+    # '.', so alias surfaces must not contain periods (SURVEY.md M2)
+    return [f"Orga {k} A/S", f"Orga{k} Ltd"]
+
+
+def person_aliases(k: int) -> list[str]:
+    return [f"Dr Pera{k}"]
+
+
+def unit_vector(key: str, dim: int = EMBED_DIM) -> np.ndarray:
+    """Deterministic hash-derived unit vector (test stand-in for a
+    768-d BERT embedding, FIXTURES.md §4)."""
+    rng = np.random.default_rng(stable_digest(key))
+    v = rng.standard_normal(dim).astype(np.float32)
+    return v / np.linalg.norm(v)
+
+
+def entities_table() -> pa.Table:
+    ids, names, types, embs = [], [], [], []
+    for k in range(N_PERSONS):
+        ids.append(PERSON_ID_BASE + k)
+        names.append(person_name(k))
+        types.append("person")
+        embs.append(unit_vector("entity:" + person_name(k)))
+    for k in range(N_ORGS):
+        ids.append(ORG_ID_BASE + k)
+        names.append(org_name(k))
+        types.append("institution")
+        embs.append(unit_vector("entity:" + org_name(k)))
+    emb_type = pa.list_(pa.float32(), EMBED_DIM)
+    return pa.table(
+        {
+            "entity_id": pa.array(ids, pa.int64()),
+            "name": pa.array(names, pa.string()),
+            "entity_type": pa.array(types, pa.string()),
+            "embedding": pa.array([e.tolist() for e in embs], emb_type),
+        }
+    )
+
+
+def aliases_table() -> pa.Table:
+    """Exploded alias map (reference alias_map.pkl analog,
+    entity_alias_mapping.ipynb cells 29-32); includes canonical name."""
+    eids, aliases = [], []
+    for k in range(N_PERSONS):
+        eid = PERSON_ID_BASE + k
+        for a in [person_name(k), *person_aliases(k)]:
+            eids.append(eid)
+            aliases.append(a)
+    for k in range(N_ORGS):
+        eid = ORG_ID_BASE + k
+        for a in [org_name(k), *org_aliases(k)]:
+            eids.append(eid)
+            aliases.append(a)
+    return pa.table(
+        {"entity_id": pa.array(eids, pa.int64()), "alias": pa.array(aliases, pa.string())}
+    )
+
+
+@dataclass
+class _PageBuild:
+    url: str
+    warc_ts: int  # epoch micros
+    html: bytes
+    text: str
+    lang: str
+    mentions: list = field(default_factory=list)  # (surface, label, entity_id)
+    triples: list = field(default_factory=list)  # (subj_eid, pred, obj)
+
+
+def _surface_for(kind: str, k: int, rng: np.random.Generator) -> tuple[str, str, int]:
+    """Pick a surface form (canonical or alias) → (surface, label, entity_id)."""
+    if kind == "person":
+        forms = [person_name(k), *person_aliases(k)]
+        return forms[int(rng.integers(len(forms)))], "PER", PERSON_ID_BASE + k
+    forms = [org_name(k), *org_aliases(k)]
+    return forms[int(rng.integers(len(forms)))], "ORG", ORG_ID_BASE + k
+
+
+def _pick_idx(kind: str, rng: np.random.Generator) -> int:
+    """Zipf-ish skew: index 0 is hot (~30% of draws) — the hot-entity
+    surface that forces salted canonicalization (SURVEY.md §4 skew)."""
+    n = N_PERSONS if kind == "person" else N_ORGS
+    if rng.random() < 0.30:
+        return 0
+    return int(rng.integers(n))
+
+
+def build_page(i: int, seed: int = 42) -> _PageBuild:
+    rng = np.random.default_rng([seed, i])
+    lang = ["da", "en", "de"][int(rng.choice(3, p=[0.70, 0.25, 0.05]))]
+    n_paras = int(rng.integers(2, 6))
+    paras: list[str] = []
+    mentions: list = []
+    triples: list = []
+    for _ in range(n_paras):
+        sents: list[str] = []
+        n_sents = int(rng.integers(2, 6))
+        for _ in range(n_sents):
+            if rng.random() < 0.45:
+                tmpl, pred, skind, okind = SVO_TEMPLATES[
+                    int(rng.integers(len(SVO_TEMPLATES)))
+                ]
+                s_surf, s_lab, s_eid = _surface_for(skind, _pick_idx(skind, rng), rng)
+                if okind == "city":
+                    o_surf = CITIES[int(rng.integers(N_CITIES))]
+                    mentions.append((s_surf, s_lab, s_eid))
+                    mentions.append((o_surf, "LOC", -1))
+                    triples.append((s_eid, pred, o_surf))
+                else:
+                    o_surf, o_lab, o_eid = _surface_for(
+                        okind, _pick_idx(okind, rng), rng
+                    )
+                    if o_eid == s_eid:  # avoid self-loops in goldens
+                        sents.append(FILLER[lang][int(rng.integers(len(FILLER[lang])))])
+                        continue
+                    mentions.append((s_surf, s_lab, s_eid))
+                    mentions.append((o_surf, o_lab, o_eid))
+                    triples.append((s_eid, pred, ("E", o_eid)))
+                sents.append(tmpl.format(s=s_surf, o=o_surf))
+            else:
+                sents.append(FILLER[lang][int(rng.integers(len(FILLER[lang])))])
+        paras.append(" ".join(sents))
+
+    with_boiler = rng.random() < 0.30
+    body_parts = []
+    if with_boiler:
+        body_parts.append(f'<div class="hdr">{HEADER}</div>')
+    for p in paras:
+        body_parts.append(f"<p>{p}</p>")
+    if rng.random() < 0.15:
+        body_parts.append("<script>var x = 1; track(x);</script>")
+    if with_boiler:
+        body_parts.append(f'<div class="ftr">{FOOTER}</div>')
+    html = (
+        f"<html><head><title>Page {i}</title>"
+        "<style>body { font: serif; }</style></head>\n<body>\n"
+        + "\n".join(body_parts)
+        + "\n</body></html>"
+    )
+    html_b = html.encode("utf-8")
+    text = extract_text(html_b)
+    ts = 1_704_067_200_000_000 + i * 13_000_000  # 2024-01-01 + i*13s, micros
+    return _PageBuild(
+        url=f"https://site{i % 97}.example/d/{i}",
+        warc_ts=ts,
+        html=html_b,
+        text=text,
+        lang=lang,
+        mentions=mentions,
+        triples=triples,
+    )
+
+
+def pages_table(n_pages: int, seed: int = 42) -> pa.Table:
+    builds = [build_page(i, seed) for i in range(n_pages)]
+    return pa.table(
+        {
+            "url": pa.array([b.url for b in builds], pa.string()),
+            "warc_ts": pa.array([b.warc_ts for b in builds], pa.timestamp("us")),
+            "html": pa.array([b.html for b in builds], pa.binary()),
+            "text": pa.array([b.text for b in builds], pa.large_string()),
+            "lang": pa.array([b.lang for b in builds], pa.string()),
+        }
+    )
+
+
+def golden_triples(n_pages: int, seed: int = 42) -> set[tuple[str, str, str]]:
+    """Expected deduplicated (subj, pred, obj) set for the flagship
+    pipeline over ``pages_table(n_pages, seed)``. Subjects/linked
+    objects use canonical ids ``entity:{id}``; unlinked objects
+    (cities) use their literal surface."""
+    out: set[tuple[str, str, str]] = set()
+    for i in range(n_pages):
+        for s_eid, pred, obj in build_page(i, seed).triples:
+            if isinstance(obj, tuple):  # ("E", eid)
+                o = f"entity:{obj[1]}"
+            else:
+                o = obj
+            out.add((f"entity:{s_eid}", pred, o))
+    return out
+
+
+def pages_dataset(n_pages: int, seed: int = 42, override_num_blocks: int | None = None):
+    """Distributed generation: ray.data.range → map_batches(build) so the
+    synthetic corpus is produced in parallel on workers, never
+    materialized on the driver (scale path for bench)."""
+    import ray.data as rd
+
+    def make(batch: pa.Table) -> pa.Table:
+        idx = batch.column("id").to_pylist()
+        builds = [build_page(i, seed) for i in idx]
+        return pa.table(
+            {
+                "url": pa.array([b.url for b in builds], pa.string()),
+                "warc_ts": pa.array([b.warc_ts for b in builds], pa.timestamp("us")),
+                "html": pa.array([b.html for b in builds], pa.binary()),
+                "text": pa.array([b.text for b in builds], pa.large_string()),
+                "lang": pa.array([b.lang for b in builds], pa.string()),
+            }
+        )
+
+    ds = rd.range(n_pages, override_num_blocks=override_num_blocks)
+    return ds.map_batches(make, batch_format="pyarrow")
+
+
+def write_corpus(out_dir: str, n_pages: int, seed: int = 42) -> dict[str, str]:
+    """Materialize pages/entities/aliases parquet under out_dir."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    os.makedirs(out_dir, exist_ok=True)
+    paths = {}
+    for name, tbl in (
+        ("pages", pages_table(n_pages, seed)),
+        ("entities", entities_table()),
+        ("aliases", aliases_table()),
+    ):
+        p = os.path.join(out_dir, f"{name}.parquet")
+        pq.write_table(tbl, p)
+        paths[name] = p
+    return paths
