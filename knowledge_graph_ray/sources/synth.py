@@ -107,24 +107,55 @@ def unit_vector(key: str, dim: int = EMBED_DIM) -> np.ndarray:
 
 
 def entities_table() -> pa.Table:
-    ids, names, types, embs = [], [], [], []
+    """Aktør analog (FIXTURES.md §4). Entity embeddings use the same
+    token-hash space as mention text (stages/embed.py) so ANN linking
+    is meaningful. Ids >= 3000 are 'dirty' rows exercising M12 name
+    cleanup / M13 rule typing / D4-D5 grouping; they never appear in
+    page text, so corpus goldens are unaffected."""
+    from knowledge_graph_ray.stages.embed import embed_texts
+
+    ids, names, firsts, lasts, groups, types = [], [], [], [], [], []
     for k in range(N_PERSONS):
         ids.append(PERSON_ID_BASE + k)
         names.append(person_name(k))
+        firsts.append(f"Pera{k}")
+        lasts.append(f"Sonsen{k}")
+        groups.append(None)
         types.append("person")
-        embs.append(unit_vector("entity:" + person_name(k)))
     for k in range(N_ORGS):
         ids.append(ORG_ID_BASE + k)
         names.append(org_name(k))
+        firsts.append(None)
+        lasts.append(None)
+        groups.append(f"OG{k}")
         types.append("institution")
-        embs.append(unit_vector("entity:" + org_name(k)))
-    emb_type = pa.list_(pa.float32(), EMBED_DIM)
+    dirty = [
+        # (id, name, first, last, group, golden_type)
+        (3000, "Hans Hansen (udpeget af Folketinget)", "Hans", "Hansen", None, "person"),
+        (3001, "Hans Hansen", "Hans", "Hansen", None, "person"),  # D5 same-name
+        (3002, "Miljø Styrelsen", None, None, "MST", "institution"),
+        (3003, "Styrelsen Miljø", None, None, "SM", "institution"),  # D4 fuzzy variant
+        (3004, "Enkeltnavn", None, "Enkeltnavn", None, "institution"),  # only last name
+    ]
+    for eid, name, first, last, grp, typ in dirty:
+        ids.append(eid)
+        names.append(name)
+        firsts.append(first)
+        lasts.append(last)
+        groups.append(grp)
+        types.append(typ)
+    embs = embed_texts(names, EMBED_DIM)
     return pa.table(
         {
             "entity_id": pa.array(ids, pa.int64()),
             "name": pa.array(names, pa.string()),
+            "first_name": pa.array(firsts, pa.string()),
+            "last_name": pa.array(lasts, pa.string()),
+            "group_short": pa.array(groups, pa.string()),
             "entity_type": pa.array(types, pa.string()),
-            "embedding": pa.array([e.tolist() for e in embs], emb_type),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(embs.ravel(), pa.float32()), EMBED_DIM
+            ),
         }
     )
 

@@ -1,0 +1,172 @@
+"""Entity linking stage (SURVEY.md J7 + T7): exact alias probe, then
+ANN candidate scoring over canonical entity embeddings, then NIL →
+canonical-surface fallback.
+
+Reference analog: alias dict probe (danlp_experiments.ipynb cell 4)
+and FAISS IVFFlat search over entity vectors
+(semantic_search_two_towers.py:24-56; create_faiss_index.py:43-68).
+
+Ray design: the entity side is SMALL relative to the corpus (17k in
+the reference, bounded in general) — it is broadcast ONCE via
+``ray.put`` and each linker actor builds its probe dict + ANN index
+in ``__init__``, never per batch. Two ANN backends:
+
+- ``brute``: exact cosine via one numpy matmul per batch of surfaces
+  (the correctness baseline; also the reference's exact fallback,
+  not_in_use_search_function.py:54-63).
+- ``lsh``: random-hyperplane signatures bucketing entity vectors;
+  query probes its bucket plus all Hamming-1 neighbors (scale path —
+  probe cost independent of entity count).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from knowledge_graph_ray.functions.canon import normalize_surface
+from knowledge_graph_ray.stages.embed import HashEmbedder
+from knowledge_graph_ray.stages.ner import _maybe_get
+
+DEFAULT_THRESHOLD = 0.35
+
+
+class LshIndex:
+    """Random-hyperplane LSH over unit vectors (deterministic seed)."""
+
+    def __init__(self, matrix: np.ndarray, nbits: int = 12, seed: int = 42):
+        dim = matrix.shape[1]
+        rng = np.random.default_rng(seed)
+        self.planes = rng.standard_normal((dim, nbits)).astype(np.float32)
+        self.nbits = nbits
+        sigs = self._sign(matrix)
+        self.buckets: dict[int, list[int]] = {}
+        for i, s in enumerate(sigs):
+            self.buckets.setdefault(int(s), []).append(i)
+        self.matrix = matrix
+
+    def _sign(self, vecs: np.ndarray) -> np.ndarray:
+        bits = (vecs @ self.planes) > 0
+        return (bits * (1 << np.arange(self.nbits, dtype=np.int64))).sum(axis=1)
+
+    def candidates(self, vec: np.ndarray) -> list[int]:
+        sig = int(self._sign(vec[None, :])[0])
+        cands = list(self.buckets.get(sig, []))
+        for b in range(self.nbits):  # Hamming-1 probes
+            cands.extend(self.buckets.get(sig ^ (1 << b), []))
+        return cands
+
+
+class EntityLinker:
+    """Callable class for ``map_batches`` over ``triples_raw`` rows
+    (subj_surface / obj_surface) or ``mentions`` rows (surface).
+
+    Resolution order per surface:
+    1. exact: normalized surface in the alias map → ``entity:{id}``
+    2. ann: embed the surface; best cosine >= threshold → ``entity:{id}``
+    3. nil: canonical-surface map (from salted canonicalization) →
+       ``surface:{canonical}`` (or the normalized surface itself).
+    Location objects stay literal.
+    """
+
+    def __init__(
+        self,
+        alias_pairs=None,  # list[(alias, entity_id)] or ObjectRef
+        entity_ids=None,  # list[int] or ObjectRef
+        entity_vecs=None,  # np.ndarray (n, dim) or ObjectRef
+        canonical_map=None,  # dict[norm -> canonical norm] or ObjectRef
+        dim: int = 64,
+        threshold: float = DEFAULT_THRESHOLD,
+        ann: str = "brute",
+    ):
+        pairs = _maybe_get(alias_pairs) or []
+        self.exact: dict[str, int] = {}
+        for alias, eid in pairs:
+            key = normalize_surface(alias)
+            prev = self.exact.get(key)
+            # deterministic conflict resolution: min entity_id wins
+            self.exact[key] = eid if prev is None else min(prev, eid)
+        self.entity_ids = list(_maybe_get(entity_ids) or [])
+        vecs = _maybe_get(entity_vecs)
+        self.matrix = np.asarray(vecs, dtype=np.float32) if vecs is not None else None
+        self.canonical_map: dict[str, str] = dict(_maybe_get(canonical_map) or {})
+        self.embedder = HashEmbedder(dim)
+        self.threshold = threshold
+        self.ann = ann
+        self.index = (
+            LshIndex(self.matrix) if (ann == "lsh" and self.matrix is not None) else None
+        )
+        self._cache: dict[str, str] = {}  # surface -> resolved id (per actor)
+
+    # ---------------------------------------------------------- core
+    def resolve(self, surface: str) -> str:
+        hit = self._cache.get(surface)
+        if hit is not None:
+            return hit
+        norm = normalize_surface(surface)
+        eid = self.exact.get(norm)
+        if eid is not None:
+            out = f"entity:{eid}"
+        elif self.matrix is not None and len(self.entity_ids):
+            vec = self.embedder.encode([norm])[0]
+            if self.index is not None:
+                cand = self.index.candidates(vec)
+                if cand:
+                    scores = self.matrix[cand] @ vec
+                    best = int(np.argmax(scores))
+                    out = (
+                        f"entity:{self.entity_ids[cand[best]]}"
+                        if scores[best] >= self.threshold
+                        else self._nil(norm)
+                    )
+                else:
+                    out = self._nil(norm)
+            else:
+                scores = self.matrix @ vec
+                best = int(np.argmax(scores))
+                out = (
+                    f"entity:{self.entity_ids[best]}"
+                    if scores[best] >= self.threshold
+                    else self._nil(norm)
+                )
+        else:
+            out = self._nil(norm)
+        self._cache[surface] = out
+        return out
+
+    def _nil(self, norm: str) -> str:
+        return "surface:" + self.canonical_map.get(norm, norm)
+
+    # ------------------------------------------------------ map_batches
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if "subj_surface" in batch.column_names:
+            return self._link_triples(batch)
+        return self._link_mentions(batch)
+
+    def _link_triples(self, batch: pa.Table) -> pa.Table:
+        subs = batch.column("subj_surface").to_pylist()
+        objs = batch.column("obj_surface").to_pylist()
+        kinds = batch.column("obj_kind").to_pylist()
+        subj = [self.resolve(s) for s in subs]
+        obj, literal = [], []
+        for o, k in zip(objs, kinds):
+            if k == "ent":
+                obj.append(self.resolve(o))
+                literal.append(False)
+            else:
+                obj.append(o)
+                literal.append(True)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "subj": pa.array(subj, pa.string()),
+                "pred": batch.column("pred"),
+                "obj": pa.array(obj, pa.string()),
+                "obj_is_literal": pa.array(literal, pa.bool_()),
+            }
+        )
+
+    def _link_mentions(self, batch: pa.Table) -> pa.Table:
+        surfaces = batch.column("surface").to_pylist()
+        resolved = [self.resolve(s) for s in surfaces]
+        return batch.append_column("entity", pa.array(resolved, pa.string()))

@@ -1,0 +1,100 @@
+"""NER stage (SURVEY.md T4/T5 analog): gazetteer + regex tagger as an
+actor-pool ``map_batches`` class.
+
+The reference tags with flair (extract_entities.py:16,29-50) and a
+transformers pipeline (entity_alias_mapping.ipynb cells 15-16); model
+NER isn't available here, so the engine ships a deterministic
+gazetteer/regex tagger with the same operator shape: pattern state is
+compiled ONCE per actor in ``__init__``; ``__call__`` is a vectorized
+scan per batch. A model-backed tagger drops in by subclassing and
+replacing ``_tag_text``.
+
+Output mentions schema (SURVEY.md §1):
+(doc_id:int64, para_idx:int32, surface:string, label:string,
+ start:int32, end:int32)
+"""
+
+from __future__ import annotations
+
+import re
+
+import pyarrow as pa
+
+import ray
+
+_GENERIC_SPAN = re.compile(r"\b[A-Z][\w]*(?: [A-Z][\w]*)*\b")
+
+
+def _maybe_get(obj):
+    return ray.get(obj) if isinstance(obj, ray.ObjectRef) else obj
+
+
+def compile_gazetteer(surfaces: list[str]) -> re.Pattern | None:
+    """Longest-first alternation with word boundaries so 'Orga 1' never
+    matches inside 'Orga 12'."""
+    if not surfaces:
+        return None
+    alts = sorted(set(surfaces), key=len, reverse=True)
+    return re.compile(r"\b(?:" + "|".join(re.escape(s) for s in alts) + r")\b")
+
+
+class GazetteerNER:
+    """Callable class for ``map_batches(GazetteerNER, concurrency=N,
+    fn_constructor_kwargs=...)`` over paragraph rows.
+
+    Parameters
+    ----------
+    gazetteer : list[(surface, label)] or ObjectRef — known entity
+        surfaces (aliases) with labels, broadcast once via ``ray.put``.
+    locations : list[str] or ObjectRef — location lexicon (LOC label).
+    generic : also emit capitalized spans not covered by the gazetteer
+        as MISC mentions (canonicalization input for unknown entities).
+    """
+
+    def __init__(self, gazetteer=None, locations=None, generic: bool = True):
+        gaz = _maybe_get(gazetteer) or []
+        locs = _maybe_get(locations) or []
+        self.label_of: dict[str, str] = {s: lab for s, lab in gaz}
+        for s in locs:
+            self.label_of.setdefault(s, "LOC")
+        self.pattern = compile_gazetteer(list(self.label_of))
+        self.generic = generic
+
+    def _tag_text(self, text: str) -> list[tuple[str, str, int, int]]:
+        found: list[tuple[str, str, int, int]] = []
+        covered: list[tuple[int, int]] = []
+        if self.pattern is not None:
+            for m in self.pattern.finditer(text):
+                found.append((m.group(0), self.label_of[m.group(0)], m.start(), m.end()))
+                covered.append((m.start(), m.end()))
+        if self.generic:
+            for m in _GENERIC_SPAN.finditer(text):
+                if any(s < m.end() and m.start() < e for s, e in covered):
+                    continue
+                found.append((m.group(0), "MISC", m.start(), m.end()))
+        found.sort(key=lambda t: t[2])
+        return found
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_ids = batch.column("doc_id").to_pylist()
+        para_idx = batch.column("para_idx").to_pylist()
+        texts = batch.column("text").to_pylist()
+        o_doc, o_para, o_surf, o_lab, o_start, o_end = [], [], [], [], [], []
+        for did, pidx, text in zip(doc_ids, para_idx, texts):
+            for surf, lab, s, e in self._tag_text(text or ""):
+                o_doc.append(did)
+                o_para.append(pidx)
+                o_surf.append(surf)
+                o_lab.append(lab)
+                o_start.append(s)
+                o_end.append(e)
+        return pa.table(
+            {
+                "doc_id": pa.array(o_doc, pa.int64()),
+                "para_idx": pa.array(o_para, pa.int32()),
+                "surface": pa.array(o_surf, pa.string()),
+                "label": pa.array(o_lab, pa.string()),
+                "start": pa.array(o_start, pa.int32()),
+                "end": pa.array(o_end, pa.int32()),
+            }
+        )
