@@ -1,0 +1,154 @@
+"""Text analysis operators for training-data pipelines (first-class
+engine components alongside SURVEY.md §2): language-ID, quality
+scoring, token counting, document fingerprinting.
+
+All pure, vectorizable ``map_batches`` kernels over Arrow batches.
+Reference analogs: token/length EDA (paragraphs_eda.ipynb, A4),
+tiktoken budget counting (extract_qa.py:9-17, T9).
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from knowledge_graph_ray.functions.hashing import hash64_array
+
+_TOKEN_RE = re.compile(r"\w+")
+_WORD_SPLIT = re.compile(r"\s+")
+# BPE-ish pre-tokenizer (GPT-2-style contractions + word/number/punct runs)
+_BPE_RE = re.compile(r"'(?:s|t|re|ve|m|ll|d)| ?\w+| ?[^\s\w]+|\s+(?!\S)")
+
+# Marker stopwords per language (n-gram heuristic lexicon).
+LANG_MARKERS: dict[str, frozenset[str]] = {
+    "da": frozenset(
+        "og ikke det er en at på af som den for med til har blev om sagen".split()
+    ),
+    "en": frozenset(
+        "the and of to a in is was that it for on with as has no so far".split()
+    ),
+    "de": frozenset(
+        "und der die das nicht ein eine in ist wurde den von mit noch hat".split()
+    ),
+    "es": frozenset("el la los las de que en un una es por con para no se".split()),
+}
+
+
+def tokens_of(text: str) -> list[str]:
+    return _TOKEN_RE.findall((text or "").lower())
+
+
+# ----------------------------------------------------------- language id
+
+def detect_language(text: str, min_margin: float = 0.0) -> str:
+    """Marker-word voting: the language whose stopword lexicon covers
+    the most tokens wins (deterministic tie-break: language name).
+    Returns 'und' (undetermined) when nothing matches."""
+    toks = tokens_of(text)
+    if not toks:
+        return "und"
+    scores = {
+        lang: sum(1 for t in toks if t in markers) / len(toks)
+        for lang, markers in LANG_MARKERS.items()
+    }
+    best = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+    if best[0][1] <= min_margin:
+        return "und"
+    return best[0][0]
+
+
+def langid_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    langs = [detect_language(t) for t in batch.column(text_col).to_pylist()]
+    return batch.append_column("lang_pred", pa.array(langs, pa.string()))
+
+
+# -------------------------------------------------------------- quality
+
+def quality_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Quality heuristics per row (all int64/float64 columns):
+    n_chars_q, n_words, n_unique_words, max_word_repeat_ratio,
+    mean_word_len, alpha_ratio. Vectorized where Arrow kernels exist."""
+    texts = batch.column(text_col)
+    n_chars = pc.utf8_length(texts).cast(pa.int64())
+    py = texts.to_pylist()
+    n_words, n_unique, rep_ratio, mean_len, alpha_ratio = [], [], [], [], []
+    for t in py:
+        words = _WORD_SPLIT.split(t.strip()) if t and t.strip() else []
+        n = len(words)
+        n_words.append(n)
+        if n == 0:
+            n_unique.append(0)
+            rep_ratio.append(0.0)
+            mean_len.append(0.0)
+            alpha_ratio.append(0.0)
+            continue
+        uniq: dict[str, int] = {}
+        for w in words:
+            uniq[w] = uniq.get(w, 0) + 1
+        n_unique.append(len(uniq))
+        rep_ratio.append(max(uniq.values()) / n)
+        mean_len.append(sum(len(w) for w in words) / n)
+        alpha = sum(1 for c in t if c.isalpha())
+        alpha_ratio.append(alpha / max(len(t), 1))
+    out = batch.append_column("n_chars_q", n_chars)
+    out = out.append_column("n_words", pa.array(n_words, pa.int64()))
+    out = out.append_column("n_unique_words", pa.array(n_unique, pa.int64()))
+    out = out.append_column("max_word_repeat_ratio", pa.array(rep_ratio, pa.float64()))
+    out = out.append_column("mean_word_len", pa.array(mean_len, pa.float64()))
+    out = out.append_column("alpha_ratio", pa.array(alpha_ratio, pa.float64()))
+    return out
+
+
+# --------------------------------------------------------- token counts
+
+def count_ws_tokens(text: str) -> int:
+    t = (text or "").strip()
+    return len(_WORD_SPLIT.split(t)) if t else 0
+
+
+def count_bpe_tokens(text: str) -> int:
+    """Deterministic BPE-ish token count (tiktoken stand-in, T9)."""
+    return len(_BPE_RE.findall(text or ""))
+
+
+def token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    texts = batch.column(text_col).to_pylist()
+    ws = [count_ws_tokens(t) for t in texts]
+    bpe = [count_bpe_tokens(t) for t in texts]
+    out = batch.append_column("n_tokens_ws", pa.array(ws, pa.int64()))
+    return out.append_column("n_tokens_bpe", pa.array(bpe, pa.int64()))
+
+
+# --------------------------------------------------------- fingerprint
+
+def rolling_fingerprint(text: str, window: int = 8, keep: int = 4) -> list[int]:
+    """Winnowing-style document fingerprint: rolling hash over token
+    windows, keep the ``keep`` smallest hashes (order-insensitive,
+    robust to local edits)."""
+    toks = tokens_of(text)
+    if not toks:
+        return []
+    if len(toks) < window:
+        grams = [" ".join(toks)]
+    else:
+        grams = [" ".join(toks[i : i + window]) for i in range(len(toks) - window + 1)]
+    h = np.unique(hash64_array(grams))
+    return [int(x) for x in h[:keep]]
+
+
+def fingerprint_batch(
+    batch: pa.Table, text_col: str = "text", window: int = 8, keep: int = 4
+) -> pa.Table:
+    texts = batch.column(text_col).to_pylist()
+    fps = [rolling_fingerprint(t, window, keep) for t in texts]
+    # also a single combined 64-bit fingerprint for equality checks
+    combined = [int(np.bitwise_xor.reduce(np.array(f, dtype=np.uint64))) if f else 0 for f in fps]
+    out = batch.append_column(
+        "fingerprint", pa.array([[x for x in f] for f in fps], pa.list_(pa.uint64()))
+    )
+    return out.append_column(
+        "fingerprint64", pa.array(np.array(combined, dtype=np.uint64).view(np.int64))
+    )

@@ -1,0 +1,226 @@
+"""Table-driven triple emission + graph query layer (SURVEY.md G1-G3,
+S11; reference rdf_graph.ipynb cells 10-48).
+
+G1 node unpivot: one source row → 1 type-triple + one attribute
+triple per non-null attribute. G2 edge emission: one link row →
+forward edge + inverse edge (+ role-named predicate via a broadcast
+role dim, spaces underscore-encoded — cells 14,17,21).
+
+The "graph" is a flat (subj, pred, obj) Dataset sorted/partitioned by
+subj; SPARQL-style queries (G3) are filter + semi-join chains over it.
+Literal rendering matches SQL CAST(... AS VARCHAR) semantics so every
+emission op has an exact DuckDB oracle:
+- timestamps → 'YYYY-MM-DD HH:MM:SS'
+- floats → shortest round-trip (Python repr == DuckDB varchar cast)
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+
+import pyarrow as pa
+
+from ray.data import Dataset
+
+
+def render_literal(value) -> str | None:
+    if value is None:
+        return None
+    if isinstance(value, _dt.datetime):
+        return value.strftime("%Y-%m-%d %H:%M:%S")
+    if isinstance(value, _dt.date):
+        return value.strftime("%Y-%m-%d")
+    if isinstance(value, float):
+        return repr(value)
+    if isinstance(value, bool):
+        return "true" if value else "false"
+    return str(value)
+
+
+def literal_dtype(value) -> str:
+    if isinstance(value, bool):
+        return "boolean"
+    if isinstance(value, _dt.datetime):
+        return "dateTime"
+    if isinstance(value, _dt.date):
+        return "date"
+    if isinstance(value, float):
+        return "double"
+    if isinstance(value, int):
+        return "integer"
+    return "string"
+
+
+def node_triples(
+    batch: pa.Table,
+    *,
+    id_col: str,
+    node_type: str,
+    attrs: list[str] | None = None,
+) -> pa.Table:
+    """G1 unpivot kernel: rows → triples. attrs defaults to every
+    column except the id."""
+    cols = attrs if attrs is not None else [c for c in batch.column_names if c != id_col]
+    ids = batch.column(id_col).to_pylist()
+    data = {c: batch.column(c).to_pylist() for c in cols}
+    o_s, o_p, o_o, o_d = [], [], [], []
+    for i, rid in enumerate(ids):
+        subj = f"{node_type}:{rid}"
+        o_s.append(subj)
+        o_p.append("rdf:type")
+        o_o.append(node_type)
+        o_d.append("resource")
+        for c in cols:
+            v = data[c][i]
+            if v is None:
+                continue
+            o_s.append(subj)
+            o_p.append(c)
+            o_o.append(render_literal(v))
+            o_d.append(literal_dtype(v))
+    return pa.table(
+        {
+            "subj": pa.array(o_s, pa.string()),
+            "pred": pa.array(o_p, pa.string()),
+            "obj": pa.array(o_o, pa.string()),
+            "obj_dtype": pa.array(o_d, pa.string()),
+        }
+    )
+
+
+def encode_role(role: str) -> str:
+    """Role label → predicate name (spaces → underscores; cells 14/17/21)."""
+    return role.strip().replace(" ", "_")
+
+
+def edge_triples(
+    batch: pa.Table,
+    *,
+    src_col: str,
+    dst_col: str,
+    src_type: str,
+    dst_type: str,
+    fwd_pred: str,
+    inv_pred: str,
+    role_col: str | None = None,
+    role_map: dict | None = None,
+) -> pa.Table:
+    """G2 kernel: one link row → forward + inverse (+ role) triples.
+    role_map is the broadcast role dim (role_id → role label)."""
+    srcs = batch.column(src_col).to_pylist()
+    dsts = batch.column(dst_col).to_pylist()
+    roles = batch.column(role_col).to_pylist() if role_col else [None] * len(srcs)
+    o_s, o_p, o_o, o_d = [], [], [], []
+    for s, d, r in zip(srcs, dsts, roles):
+        subj = f"{src_type}:{s}"
+        obj = f"{dst_type}:{d}"
+        o_s.append(subj)
+        o_p.append(fwd_pred)
+        o_o.append(obj)
+        o_d.append("resource")
+        o_s.append(obj)
+        o_p.append(inv_pred)
+        o_o.append(subj)
+        o_d.append("resource")
+        if role_col is not None and r is not None and role_map and r in role_map:
+            o_s.append(subj)
+            o_p.append(encode_role(role_map[r]))
+            o_o.append(obj)
+            o_d.append("resource")
+    return pa.table(
+        {
+            "subj": pa.array(o_s, pa.string()),
+            "pred": pa.array(o_p, pa.string()),
+            "obj": pa.array(o_o, pa.string()),
+            "obj_dtype": pa.array(o_d, pa.string()),
+        }
+    )
+
+
+# --------------------------------------------------------------- G3
+
+def filter_pred_obj(
+    triples: Dataset,
+    *,
+    pred: str,
+    obj_in: list[str] | None = None,
+    obj_between: tuple[str, str] | None = None,
+) -> Dataset:
+    """One SPARQL-style triple pattern → matching rows."""
+    ds = triples.filter(expr=f"pred == '{pred}'")
+    if obj_in is not None:
+        vals = set(obj_in)
+        ds = ds.map_batches(
+            lambda b: b.filter(
+                pa.array([o in vals for o in b.column("obj").to_pylist()], pa.bool_())
+            ),
+            batch_format="pyarrow",
+        )
+    if obj_between is not None:
+        lo, hi = obj_between
+        ds = ds.map_batches(
+            lambda b: b.filter(
+                pa.array(
+                    [lo <= o <= hi for o in b.column("obj").to_pylist()], pa.bool_()
+                )
+            ),
+            batch_format="pyarrow",
+        )
+    return ds
+
+
+def subjects_matching(
+    triples: Dataset,
+    patterns: list[dict],
+    *,
+    num_partitions: int = 8,
+) -> Dataset:
+    """Conjunctive SPARQL-style query (rdf_graph.ipynb cell 47 shape):
+    distinct subjects satisfying EVERY pattern. Each pattern dict is
+    kwargs for ``filter_pred_obj``. Implemented as a chain of inner
+    joins on subj over the distinct subject sets."""
+    from ray.data.aggregate import Count
+
+    result: Dataset | None = None
+    for i, pat in enumerate(patterns):
+        subs = (
+            filter_pred_obj(triples, **pat)
+            .select_columns(["subj"])
+            .groupby("subj")
+            .aggregate(Count(alias_name=f"_c{i}"))
+            .select_columns(["subj"])
+        )
+        result = subs if result is None else result.join(
+            subs, join_type="inner", num_partitions=num_partitions, on=("subj",)
+        )
+    assert result is not None, "need at least one pattern"
+    return result
+
+
+# --------------------------------------------------------------- S11
+
+def to_turtle_batch(batch: pa.Table, base: str = "http://kg.local/") -> pa.Table:
+    """Formatting map: triple rows → one turtle line per row."""
+    subs = batch.column("subj").to_pylist()
+    preds = batch.column("pred").to_pylist()
+    objs = batch.column("obj").to_pylist()
+    dtypes = (
+        batch.column("obj_dtype").to_pylist()
+        if "obj_dtype" in batch.column_names
+        else ["string"] * len(subs)
+    )
+
+    def uri(x: str) -> str:
+        return f"<{base}{x.replace(':', '/')}>"
+
+    lines = []
+    for s, p, o, d in zip(subs, preds, objs, dtypes):
+        if d == "resource":
+            obj_repr = uri(o)
+        else:
+            escaped = o.replace("\\", "\\\\").replace('"', '\\"')
+            obj_repr = f'"{escaped}"'
+            if d != "string":
+                obj_repr += f"^^<http://www.w3.org/2001/XMLSchema#{d}>"
+        lines.append(f"{uri(s)} <{base}{p}> {obj_repr} .")
+    return pa.table({"line": pa.array(lines, pa.string())})

@@ -1,0 +1,104 @@
+"""Relational building blocks on Ray Data (SURVEY.md §2.4-§2.6).
+
+Join strategy (documented for the 100 TB design):
+- small side (dim tables, id sets) → ``broadcast_join`` /
+  ``semi_filter``: the build side is ``ray.put`` ONCE and probed
+  inside ``map_batches`` — no shuffle, no per-batch re-ship.
+- large-large → Ray Data's native hash ``Dataset.join`` with an
+  explicit ``num_partitions`` (both sides shuffle on the key).
+
+Reference analogs: pandas ``isin`` semi-joins (J1/J2), dict-lookup FK
+enrichment (J3, create_QA_dataset.py:71-95).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+import ray
+from ray.data import Dataset
+
+
+def broadcast_join(
+    ds: Dataset,
+    small: pa.Table,
+    *,
+    key: str,
+    small_key: str | None = None,
+    cols: list[str] | None = None,
+    how: str = "inner",
+) -> Dataset:
+    """Map-side hash join against a broadcast small table.
+
+    how='inner' drops probe rows with no match; 'left' keeps them with
+    nulls. Build side must be one row per key (dim-table shape).
+    """
+    small_key = small_key or key
+    cols = cols or [c for c in small.column_names if c != small_key]
+    keys = small.column(small_key).to_pylist()
+    lookup: dict = {}
+    data = {c: small.column(c).to_pylist() for c in cols}
+    for i, k in enumerate(keys):
+        lookup[k] = tuple(data[c][i] for c in cols)
+    # arrow types for the appended columns
+    out_types = {c: small.schema.field(c).type for c in cols}
+    ref = ray.put(lookup)
+
+    def probe(batch: pa.Table) -> pa.Table:
+        table = ray.get(ref)
+        probe_keys = batch.column(key).to_pylist()
+        hits = [table.get(k) for k in probe_keys]
+        if how == "inner":
+            mask = pa.array([h is not None for h in hits], pa.bool_())
+            batch = batch.filter(mask)
+            hits = [h for h in hits if h is not None]
+        out = batch
+        for j, c in enumerate(cols):
+            vals = [h[j] if h is not None else None for h in hits]
+            out = out.append_column(c, pa.array(vals, out_types[c]))
+        return out
+
+    return ds.map_batches(probe, batch_format="pyarrow")
+
+
+def semi_filter(
+    ds: Dataset, keys, *, col: str, anti: bool = False
+) -> Dataset:
+    """Semi/anti-join against a broadcast key set (J1/J2 shape)."""
+    ref = ray.put(frozenset(keys))
+
+    def probe(batch: pa.Table) -> pa.Table:
+        s = ray.get(ref)
+        vals = batch.column(col).to_pylist()
+        mask = pa.array(
+            [(v in s) != anti for v in vals],
+            pa.bool_(),
+        )
+        return batch.filter(mask)
+
+    return ds.map_batches(probe, batch_format="pyarrow")
+
+
+def hash_join(
+    left: Dataset,
+    right: Dataset,
+    *,
+    on: str | tuple,
+    right_on: str | tuple | None = None,
+    how: str = "inner",
+    num_partitions: int = 16,
+) -> Dataset:
+    """Large-large join: Ray Data native hash join (explicit partition
+    count — this is an all-to-all shuffle of BOTH sides; prefer
+    broadcast_join whenever one side fits in the object store)."""
+    on_t = (on,) if isinstance(on, str) else tuple(on)
+    r_t = None if right_on is None else (
+        (right_on,) if isinstance(right_on, str) else tuple(right_on)
+    )
+    return left.join(
+        right,
+        join_type=how,
+        num_partitions=num_partitions,
+        on=on_t,
+        right_on=r_t,
+    )

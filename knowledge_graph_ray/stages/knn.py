@@ -1,0 +1,166 @@
+"""Similarity search over an embedding column (training-data op).
+
+Reference analog: FAISS IVFFlat search (semantic_search_two_towers.py:
+24-56) and the exact dot-product fallback
+(not_in_use_search_function.py:54-63).
+
+Ray-Data-first design: the QUERY side is small and broadcast
+(``ray.put`` once); the CORPUS side streams. Each ``map_batches`` task
+computes cosine scores for its batch against the query matrix and
+keeps only a per-batch top-k — the global top-k per query is a final
+tiny ``groupby(query_id).map_groups`` merge. Nothing corpus-sized is
+ever collected.
+
+- ``knn_topk``  — exact brute-force baseline (one numpy matmul/batch).
+- ``knn_lsh``   — scale path: corpus rows are pre-filtered to LSH
+  buckets probed by at least one query (bucket mismatch → the row is
+  skipped before any arithmetic), then scored exactly.
+
+Scores are float64, rounded to 6 decimals BEFORE ranking, ties broken
+by neighbor id — making ranks reproducible against a SQL oracle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+from ray.data import Dataset
+
+ROUND_DECIMALS = 6
+
+
+def _unit_rows(m: np.ndarray) -> np.ndarray:
+    m = np.asarray(m, dtype=np.float64)
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1
+    return m / n
+
+
+def _merge_topk(df: pd.DataFrame, k: int) -> pd.DataFrame:
+    df = df.sort_values(["score", "neighbor_id"], ascending=[False, True]).head(k)
+    df = df.reset_index(drop=True)
+    df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
+    return df
+
+
+def knn_topk(
+    ds: Dataset,
+    query_ids: list[int],
+    query_vecs: np.ndarray,
+    *,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    exclude_self: bool = True,
+) -> Dataset:
+    """Exact cosine top-k: → (query_id, neighbor_id, score, rank)."""
+    q_unit = _unit_rows(query_vecs)
+    refs = ray.put((list(query_ids), q_unit))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        qids, qm = ray.get(refs)
+        ids = np.asarray(batch.column(id_col).to_pylist(), dtype=np.int64)
+        vecs = _unit_rows(np.asarray(batch.column(vec_col).to_pylist()))
+        scores = np.round(vecs @ qm.T, ROUND_DECIMALS)  # (n, q)
+        o_q, o_n, o_s = [], [], []
+        for qi, qid in enumerate(qids):
+            col = scores[:, qi]
+            mask = ids != qid if exclude_self else np.ones(len(ids), bool)
+            idx = np.nonzero(mask)[0]
+            if len(idx) == 0:
+                continue
+            # per-batch partial top-k (deterministic: score desc, id asc)
+            order = np.lexsort((ids[idx], -col[idx]))[:k]
+            for j in idx[order]:
+                o_q.append(qid)
+                o_n.append(int(ids[j]))
+                o_s.append(float(col[j]))
+        return pa.table(
+            {
+                "query_id": pa.array(o_q, pa.int64()),
+                "neighbor_id": pa.array(o_n, pa.int64()),
+                "score": pa.array(o_s, pa.float64()),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return partials.groupby("query_id").map_groups(
+        lambda df: _merge_topk(df, k), batch_format="pandas"
+    )
+
+
+def knn_lsh(
+    ds: Dataset,
+    query_ids: list[int],
+    query_vecs: np.ndarray,
+    *,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    nbits: int = 8,
+    seed: int = 42,
+    exclude_self: bool = True,
+) -> Dataset:
+    """LSH-pruned cosine top-k (approximate): corpus rows whose
+    hyperplane signature is not within Hamming-1 of any query signature
+    are skipped before scoring."""
+    q_unit = _unit_rows(query_vecs)
+    dim = q_unit.shape[1]
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((dim, nbits))
+    weights = 1 << np.arange(nbits, dtype=np.int64)
+
+    def sig_of(m: np.ndarray) -> np.ndarray:
+        return (((m @ planes) > 0) * weights).sum(axis=1)
+
+    q_sigs = sig_of(q_unit)
+    probe: set[int] = set()
+    for s in q_sigs:
+        probe.add(int(s))
+        for b in range(nbits):
+            probe.add(int(s) ^ (1 << b))
+    refs = ray.put((list(query_ids), q_unit, frozenset(probe)))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        qids, qm, probes = ray.get(refs)
+        ids = np.asarray(batch.column(id_col).to_pylist(), dtype=np.int64)
+        vecs = _unit_rows(np.asarray(batch.column(vec_col).to_pylist()))
+        sigs = sig_of(vecs)
+        keep = np.array([int(s) in probes for s in sigs])
+        if not keep.any():
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "neighbor_id": pa.array([], pa.int64()),
+                    "score": pa.array([], pa.float64()),
+                }
+            )
+        ids, vecs = ids[keep], vecs[keep]
+        scores = np.round(vecs @ qm.T, ROUND_DECIMALS)
+        o_q, o_n, o_s = [], [], []
+        for qi, qid in enumerate(qids):
+            col = scores[:, qi]
+            mask = ids != qid if exclude_self else np.ones(len(ids), bool)
+            idx = np.nonzero(mask)[0]
+            if len(idx) == 0:
+                continue
+            order = np.lexsort((ids[idx], -col[idx]))[:k]
+            for j in idx[order]:
+                o_q.append(qid)
+                o_n.append(int(ids[j]))
+                o_s.append(float(col[j]))
+        return pa.table(
+            {
+                "query_id": pa.array(o_q, pa.int64()),
+                "neighbor_id": pa.array(o_n, pa.int64()),
+                "score": pa.array(o_s, pa.float64()),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return partials.groupby("query_id").map_groups(
+        lambda df: _merge_topk(df, k), batch_format="pandas"
+    )

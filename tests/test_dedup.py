@@ -1,0 +1,122 @@
+"""Dedup operator family (SURVEY.md §2.7 + training-data ops)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from knowledge_graph_ray.functions import dedup
+
+
+def docs_ds(texts):
+    return rd.from_arrow(
+        pa.table(
+            {"doc_id": pa.array(range(len(texts)), pa.int64()), "text": pa.array(texts)}
+        )
+    )
+
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches from the warm windowsill "
+    "and the birds sing in the tall green trees near the quiet river bank every single morning"
+)
+NEAR = BASE.replace("quiet river", "noisy river")  # tiny edit
+OTHER = (
+    "completely different content about databases and distributed systems with no overlap "
+    "in any shingle of meaningful length whatsoever for this particular document example"
+)
+
+
+def test_exact_dedup_first_wins(ray_session):
+    ds = docs_ds([BASE, OTHER, BASE, BASE])
+    out = dedup.exact_dedup(ds).take_all()
+    rows = {r["text"]: (r["keep_id"], r["dup_count"]) for r in out}
+    assert rows[BASE] == (0, 3)
+    assert rows[OTHER] == (1, 1)
+
+
+def test_exact_dedup_idempotent(ray_session):
+    ds = docs_ds([BASE, OTHER, BASE])
+    once = dedup.exact_dedup(ds)
+    tbl = pa.Table.from_pylist(once.take_all())
+    again = dedup.exact_dedup(
+        rd.from_arrow(tbl.rename_columns(["text", "doc_id", "c"]).select(["doc_id", "text"])),
+    ).take_all()
+    assert len(again) == len(once.take_all())
+
+
+def test_minhash_signature_estimates_jaccard():
+    mh = dedup.MinHasher(n_hashes=128)
+    a = dedup.shingle_hashes(BASE)
+    b = dedup.shingle_hashes(NEAR)
+    true_j = len(np.intersect1d(a, b)) / len(np.union1d(a, b))
+    est = (mh.signature(a) == mh.signature(b)).mean()
+    assert abs(est - true_j) < 0.15
+    assert true_j > 0.7
+
+
+def test_minhash_lsh_finds_near_dup(ray_session):
+    ds = docs_ds([BASE, NEAR, OTHER])
+    pairs = dedup.minhash_lsh_pairs(ds, threshold=0.6).take_all()
+    found = {(r["a"], r["b"]) for r in pairs}
+    assert (0, 1) in found
+    assert all(2 not in p for p in found)
+
+
+def test_simhash_near_dup(ray_session):
+    ds = docs_ds([BASE, NEAR, OTHER])
+    pairs = dedup.simhash_pairs(ds, max_hamming=8).take_all()
+    found = {(r["a"], r["b"]) for r in pairs}
+    assert (0, 1) in found
+    assert (0, 2) not in found and (1, 2) not in found
+
+
+def test_ngram_jaccard_exact_verify(ray_session):
+    ds = docs_ds([BASE, NEAR, OTHER, BASE])
+    pairs = dedup.ngram_jaccard_pairs(ds, threshold=0.7).take_all()
+    found = {(r["a"], r["b"]): r["score"] for r in pairs}
+    assert (0, 3) in found and found[(0, 3)] == 1.0  # identical
+    assert (0, 1) in found and 0.7 <= found[(0, 1)] < 1.0
+
+
+def test_embedding_cosine_pairs(ray_session):
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal(32).astype(np.float32)
+    near = base + rng.standard_normal(32).astype(np.float32) * 0.02
+    far = rng.standard_normal(32).astype(np.float32)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array([10, 11, 12], pa.int64()),
+            "embedding": pa.array(
+                [base.tolist(), near.tolist(), far.tolist()], pa.list_(pa.float32())
+            ),
+        }
+    )
+    pairs = dedup.embedding_cosine_pairs(
+        rd.from_arrow(tbl), threshold=0.95
+    ).take_all()
+    found = {(r["a"], r["b"]) for r in pairs}
+    assert (10, 11) in found
+    assert len(found) == 1
+
+
+def test_drops_and_filter(ray_session):
+    ds = docs_ds([BASE, NEAR, OTHER, BASE])
+    pairs = dedup.ngram_jaccard_pairs(ds, threshold=0.7)
+    drops = dedup.drops_from_pairs(pairs)
+    assert drops == {1, 3}
+    kept = dedup.filter_dropped(ds, drops).take_all()
+    assert sorted(r["doc_id"] for r in kept) == [0, 2]
+
+
+def test_group_cap_bounds_work(ray_session):
+    # 30 identical docs: cap=10 → pairs only among first 10, but doc 0
+    # still dominates → all but one of the capped set get dropped
+    ds = docs_ds([BASE] * 30)
+    pairs = dedup.minhash_lsh_pairs(ds, threshold=0.9, group_cap=10).take_all()
+    ids = {x for r in pairs for x in (r["a"], r["b"])}
+    assert max(ids) <= 9
+    assert len(pairs) == 45  # 10 choose 2

@@ -1,0 +1,105 @@
+"""Similarity search + text analysis operators."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data as rd
+
+from knowledge_graph_ray.functions import textstats
+from knowledge_graph_ray.stages import knn
+
+
+def emb_ds(n=60, dim=16, seed=3):
+    rng = np.random.default_rng(seed)
+    vecs = rng.standard_normal((n, dim)).astype(np.float32)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array([v.tolist() for v in vecs], pa.list_(pa.float32())),
+        }
+    )
+    return rd.from_arrow(tbl), vecs
+
+
+def brute_truth(vecs, qids, k):
+    unit = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    out = {}
+    for q in qids:
+        sims = np.round(unit @ unit[q], 6)
+        order = np.lexsort((np.arange(len(vecs)), -sims))
+        order = [i for i in order if i != q][:k]
+        out[q] = order
+    return out
+
+
+def test_knn_topk_matches_numpy(ray_session):
+    ds, vecs = emb_ds()
+    qids = [0, 5, 17]
+    res = knn.knn_topk(ds, qids, vecs[qids], k=4).take_all()
+    got = {}
+    for r in res:
+        got.setdefault(r["query_id"], []).append((r["rank"], r["neighbor_id"]))
+    truth = brute_truth(vecs, qids, 4)
+    for q in qids:
+        assert [n for _, n in sorted(got[q])] == truth[q]
+
+
+def test_knn_partial_topk_partition_invariant(ray_session):
+    ds, vecs = emb_ds()
+    qids = [2]
+    a = knn.knn_topk(ds.repartition(1), qids, vecs[qids], k=5).take_all()
+    b = knn.knn_topk(ds.repartition(7), qids, vecs[qids], k=5).take_all()
+    key = lambda rows: sorted((r["rank"], r["neighbor_id"]) for r in rows)
+    assert key(a) == key(b)
+
+
+def test_knn_lsh_high_recall_on_near_vectors(ray_session):
+    # near-identical vectors must be found despite LSH pruning
+    rng = np.random.default_rng(9)
+    base = rng.standard_normal((20, 16)).astype(np.float32)
+    near = base + 0.01 * rng.standard_normal((20, 16)).astype(np.float32)
+    vecs = np.vstack([base, near])
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(40), pa.int64()),
+            "embedding": pa.array([v.tolist() for v in vecs], pa.list_(pa.float32())),
+        }
+    )
+    ds = rd.from_arrow(tbl)
+    res = knn.knn_lsh(ds, [0, 5], vecs[[0, 5]], k=1).take_all()
+    top1 = {r["query_id"]: r["neighbor_id"] for r in res if r["rank"] == 1}
+    assert top1[0] == 20 and top1[5] == 25
+
+
+def test_langid():
+    assert textstats.detect_language("det er ikke en sag som har den") == "da"
+    assert textstats.detect_language("the committee and the report of it") == "en"
+    assert textstats.detect_language("der Bericht und die Sache nicht") == "de"
+    assert textstats.detect_language("") == "und"
+    assert textstats.detect_language("zzz qqq www") == "und"
+
+
+def test_quality_batch():
+    b = pa.table({"text": pa.array(["aa bb aa aa", "", "x"])})
+    out = textstats.quality_batch(b)
+    assert out.column("n_words").to_pylist() == [4, 0, 1]
+    assert out.column("n_unique_words").to_pylist() == [2, 0, 1]
+    assert out.column("max_word_repeat_ratio").to_pylist()[0] == 0.75
+
+
+def test_token_counts():
+    b = pa.table({"text": pa.array(["hello world, it's fine", ""])})
+    out = textstats.token_count_batch(b)
+    assert out.column("n_tokens_ws").to_pylist() == [4, 0]
+    assert out.column("n_tokens_bpe").to_pylist()[0] >= 5
+
+
+def test_fingerprint_robust_to_distant_edit():
+    long_a = " ".join(f"tok{i}" for i in range(100))
+    long_b = long_a + " tail_edit_here"
+    fa = textstats.rolling_fingerprint(long_a)
+    fb = textstats.rolling_fingerprint(long_b)
+    assert fa == fb  # keep-smallest windows unaffected by tail edit
+    assert textstats.rolling_fingerprint("") == []

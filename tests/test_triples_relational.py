@@ -1,0 +1,135 @@
+"""G1/G2 emission, G3 queries, joins (SURVEY.md §2.4, §2.8)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pyarrow as pa
+
+import ray.data as rd
+
+from knowledge_graph_ray.functions import triples as T
+from knowledge_graph_ray.pipelines import relational as R
+
+
+def test_node_triples_counts_and_nulls():
+    b = pa.table(
+        {
+            "case_id": pa.array([1, 2], pa.int64()),
+            "title": pa.array(["A", None]),
+            "score": pa.array([1.5, 2.0], pa.float64()),
+        }
+    )
+    out = T.node_triples(b, id_col="case_id", node_type="case")
+    # row1: type + title + score = 3; row2: type + score = 2
+    assert out.num_rows == 5
+    rows = set(zip(out.column("subj").to_pylist(), out.column("pred").to_pylist(), out.column("obj").to_pylist()))
+    assert ("case:1", "rdf:type", "case") in rows
+    assert ("case:1", "score", "1.5") in rows
+    assert ("case:2", "title", None) not in {r for r in rows}
+
+
+def test_literal_rendering():
+    assert T.render_literal(dt.datetime(1995, 3, 15)) == "1995-03-15 00:00:00"
+    assert T.render_literal(dt.date(1995, 3, 15)) == "1995-03-15"
+    assert T.render_literal(4032.68) == "4032.68"
+    assert T.render_literal(True) == "true"
+    assert T.render_literal(7) == "7"
+
+
+def test_edge_triples_with_roles():
+    b = pa.table(
+        {
+            "case_id": pa.array([1], pa.int64()),
+            "actor_id": pa.array([9], pa.int64()),
+            "role_id": pa.array([2], pa.int32()),
+        }
+    )
+    out = T.edge_triples(
+        b,
+        src_col="case_id",
+        dst_col="actor_id",
+        src_type="case",
+        dst_type="actor",
+        fwd_pred="hasActor",
+        inv_pred="isActorOf",
+        role_col="role_id",
+        role_map={2: "lead minister"},
+    )
+    rows = set(zip(out.column("subj").to_pylist(), out.column("pred").to_pylist(), out.column("obj").to_pylist()))
+    assert rows == {
+        ("case:1", "hasActor", "actor:9"),
+        ("actor:9", "isActorOf", "case:1"),
+        ("case:1", "lead_minister", "actor:9"),
+    }
+
+
+def test_subjects_matching_conjunction(ray_session):
+    rows = [
+        ("case:1", "hasActor", "actor:9"),
+        ("case:1", "date", "2024-01-05"),
+        ("case:2", "hasActor", "actor:9"),
+        ("case:2", "date", "2025-06-01"),
+        ("case:3", "hasActor", "actor:7"),
+        ("case:3", "date", "2024-02-02"),
+    ]
+    tbl = pa.table(
+        {
+            "subj": pa.array([r[0] for r in rows]),
+            "pred": pa.array([r[1] for r in rows]),
+            "obj": pa.array([r[2] for r in rows]),
+        }
+    )
+    ds = rd.from_arrow(tbl)
+    out = T.subjects_matching(
+        ds,
+        [
+            {"pred": "hasActor", "obj_in": ["actor:9"]},
+            {"pred": "date", "obj_between": ("2024-01-01", "2024-12-31")},
+        ],
+        num_partitions=2,
+    ).take_all()
+    assert [r["subj"] for r in out] == ["case:1"]
+
+
+def test_to_turtle():
+    b = pa.table(
+        {
+            "subj": pa.array(["case:1"]),
+            "pred": pa.array(["title"]),
+            "obj": pa.array(['say "hi"']),
+            "obj_dtype": pa.array(["string"]),
+        }
+    )
+    line = T.to_turtle_batch(b).column("line").to_pylist()[0]
+    assert line == '<http://kg.local/case/1> <http://kg.local/title> "say \\"hi\\"" .'
+
+
+def test_broadcast_join_inner_and_left(ray_session):
+    big = rd.from_arrow(
+        pa.table({"k": pa.array([1, 2, 3, 4], pa.int64()), "v": pa.array(list("abcd"))})
+    )
+    dim = pa.table({"k": pa.array([1, 3], pa.int64()), "name": pa.array(["one", "three"])})
+    inner = R.broadcast_join(big, dim, key="k").take_all()
+    assert {(r["k"], r["name"]) for r in inner} == {(1, "one"), (3, "three")}
+    left = R.broadcast_join(big, dim, key="k", how="left").take_all()
+    assert len(left) == 4
+    assert {r["k"]: r["name"] for r in left}[2] is None
+
+
+def test_semi_and_anti_filter(ray_session):
+    ds = rd.from_arrow(pa.table({"k": pa.array([1, 2, 3, 4], pa.int64())}))
+    assert sorted(r["k"] for r in R.semi_filter(ds, {2, 4}, col="k").take_all()) == [2, 4]
+    assert sorted(r["k"] for r in R.semi_filter(ds, {2, 4}, col="k", anti=True).take_all()) == [1, 3]
+
+
+def test_hash_join_large_large(ray_session):
+    left = rd.from_arrow(
+        pa.table({"k": pa.array(range(100), pa.int64()), "l": pa.array(range(100), pa.int64())})
+    )
+    right = rd.from_arrow(
+        pa.table({"k": pa.array(range(0, 200, 2), pa.int64()), "r": pa.array(range(100), pa.int64())})
+    )
+    out = R.hash_join(left, right, on="k", num_partitions=4).take_all()
+    assert len(out) == 50
+    assert all(r["k"] % 2 == 0 for r in out)
