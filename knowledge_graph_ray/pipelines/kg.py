@@ -75,7 +75,7 @@ def extract_and_segment(pages: Dataset) -> Dataset:
     return docs.map_batches(paragraphs_batch, batch_format="pyarrow")
 
 
-def mention_stage(paras: Dataset, refs, *, concurrency=4, batch_size=256) -> Dataset:
+def mention_stage(paras: Dataset, refs, *, concurrency=(1, 4), batch_size=256) -> Dataset:
     return paras.map_batches(
         GazetteerNER,
         fn_constructor_kwargs={
@@ -104,7 +104,7 @@ def triple_stage(
     refs,
     canonical_map: dict[str, str] | None,
     *,
-    concurrency=4,
+    concurrency=(1, 4),
     batch_size=256,
     ann: str = "brute",
     link_threshold: float = 0.35,
@@ -156,7 +156,7 @@ def build_kg(
     aliases: pa.Table,
     locations=None,
     *,
-    concurrency: int | tuple = 4,
+    concurrency: int | tuple = (1, 4),
     batch_size: int = 256,
     ann: str = "brute",
     link_threshold: float = 0.35,

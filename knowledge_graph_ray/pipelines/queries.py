@@ -1,0 +1,538 @@
+"""Driver-facing query registry: one entry per implemented operator
+family (SURVEY.md §2), each over the driver tables in ``sf_dir`` (or
+the deterministic synthetic pages corpus), most with an exact DuckDB
+oracle twin (driver protocol, __ray_entry__.py).
+
+Column-name + value parity rules (driver hashes values under sorted
+column names):
+- every aggregate/computed column is explicitly aliased identically
+  in Ray code and SQL;
+- double aggregates are rounded (ROUND(x, 3) / round(x, 3)) on both
+  sides so float summation order can't flip the hash;
+- triple literals render exactly like CAST(x AS VARCHAR).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data as rd
+from ray.data import Dataset
+from ray.data.aggregate import Count, Max, Min, Sum
+
+from knowledge_graph_ray.functions import dedup, textstats
+from knowledge_graph_ray.functions import triples as T
+from knowledge_graph_ray.pipelines import relational as R
+from knowledge_graph_ray.stages import knn
+
+
+def _read(sf_dir: str, table: str) -> Dataset:
+    return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"))
+
+
+def sf_of(sf_dir: str) -> float:
+    base = os.path.basename(os.path.normpath(sf_dir))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.001
+
+
+def pages_count_for(sf_dir: str) -> int:
+    return max(100, int(sf_of(sf_dir) * 20000))
+
+
+# ----------------------------------------------------------------- helpers
+
+def partial_grouped(
+    ds: Dataset,
+    keys: list[str],
+    sum_cols: dict[str, str],
+    count_alias: str | None = None,
+) -> Dataset:
+    """Pre-aggregate inside map_batches (combiner), then a small final
+    groupby over partials — the scale pattern for high-cardinality
+    aggregation (SURVEY.md §4: push aggregation partial)."""
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        agg = {alias: (col, "sum") for col, alias in sum_cols.items()}
+        if count_alias:
+            agg[count_alias] = (keys[0], "size")
+        return df.groupby(keys, as_index=False, sort=False).agg(**agg)
+
+    partials = ds.map_batches(combine, batch_format="pandas")
+    aggs = [Sum(alias, alias_name=alias) for alias in sum_cols.values()]
+    if count_alias:
+        aggs.append(Sum(count_alias, alias_name=count_alias))
+    return partials.groupby(keys).aggregate(*aggs)
+
+
+def round_cols(ds: Dataset, cols: list[str], ndigits: int = 3) -> Dataset:
+    def fix(df: pd.DataFrame) -> pd.DataFrame:
+        for c in cols:
+            df[c] = df[c].astype(float).round(ndigits)
+        return df
+
+    return ds.map_batches(fix, batch_format="pandas")
+
+
+# ================================================================ queries
+
+# --- A: aggregations -----------------------------------------------------
+
+def q_agg_pricing_summary(sf_dir: str) -> Dataset:
+    """TPC-H Q1 shape (SURVEY.md A1/A4): partial combine → final merge."""
+    li = _read(sf_dir, "lineitem")
+
+    def widen(df: pd.DataFrame) -> pd.DataFrame:
+        df["disc_price"] = df["l_extendedprice"] * (1 - df["l_discount"])
+        return df[
+            ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+             "disc_price", "l_discount"]
+        ]
+
+    agg = partial_grouped(
+        li.map_batches(widen, batch_format="pandas"),
+        ["l_returnflag", "l_linestatus"],
+        {
+            "l_quantity": "sum_qty",
+            "l_extendedprice": "sum_base_price",
+            "disc_price": "sum_disc_price",
+            "l_discount": "sum_disc",
+        },
+        count_alias="count_order",
+    )
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        df["avg_disc"] = (df["sum_disc"] / df["count_order"]).round(3)
+        for c in ("sum_qty", "sum_base_price", "sum_disc_price"):
+            df[c] = df[c].round(3)
+        return df.drop(columns=["sum_disc"])
+
+    return agg.map_batches(finalize, batch_format="pandas")
+
+
+SQL_AGG_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 3)                          AS sum_qty,
+       ROUND(SUM(l_extendedprice), 3)                     AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 3)  AS sum_disc_price,
+       ROUND(AVG(l_discount), 3)                          AS avg_disc,
+       COUNT(*)                                           AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_revenue_by_nation(sf_dir: str) -> Dataset:
+    """3-way join (J3 broadcast FK enrichment) + aggregate."""
+    import pyarrow.parquet as pq
+
+    orders = _read(sf_dir, "orders")
+    # dim tables: column-pruned single read, broadcast once (never shuffled)
+    cust_tbl = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_nationkey"]
+    )
+    nat_tbl = pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_name"]
+    )
+    enriched = R.broadcast_join(
+        orders, cust_tbl, key="o_custkey", small_key="c_custkey", cols=["c_nationkey"]
+    )
+    named = R.broadcast_join(
+        enriched, nat_tbl, key="c_nationkey", small_key="n_nationkey", cols=["n_name"]
+    )
+    agg = partial_grouped(
+        named, ["n_name"], {"o_totalprice": "revenue"}, count_alias="n_orders"
+    )
+    return round_cols(agg, ["revenue"])
+
+
+SQL_REVENUE_BY_NATION = """
+SELECT n_name, ROUND(SUM(o_totalprice), 3) AS revenue, COUNT(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def q_building_orders(sf_dir: str) -> Dataset:
+    """Broadcast semi-join (J1) + aggregate by priority."""
+    orders = _read(sf_dir, "orders")
+    customer = _read(sf_dir, "customer")
+    keys = [
+        r["c_custkey"]
+        for r in customer.filter(expr="c_mktsegment == 'BUILDING'")
+        .select_columns(["c_custkey"])
+        .take_all()
+    ]
+    filtered = R.semi_filter(orders, keys, col="o_custkey")
+    agg = partial_grouped(
+        filtered, ["o_orderpriority"], {"o_totalprice": "total"}, count_alias="n_orders"
+    )
+    return round_cols(agg, ["total"])
+
+
+SQL_BUILDING_ORDERS = """
+SELECT o_orderpriority, ROUND(SUM(o_totalprice), 3) AS total, COUNT(*) AS n_orders
+FROM orders
+WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+GROUP BY o_orderpriority
+"""
+
+
+def q_topk_customers(sf_dir: str) -> Dataset:
+    """Global sort + limit (K1 global top-k shape)."""
+    return (
+        _read(sf_dir, "customer")
+        .select_columns(["c_custkey", "c_name", "c_acctbal"])
+        .sort(["c_acctbal", "c_custkey"], descending=[True, False])
+        .limit(10)
+    )
+
+
+SQL_TOPK_CUSTOMERS = """
+SELECT c_custkey, c_name, c_acctbal FROM customer
+ORDER BY c_acctbal DESC, c_custkey LIMIT 10
+"""
+
+
+def q_distinct_event_types(sf_dir: str) -> Dataset:
+    """Distinct (A5)."""
+    return (
+        _read(sf_dir, "events")
+        .groupby("event_type")
+        .aggregate(Count(alias_name="_n"))
+        .select_columns(["event_type"])
+    )
+
+
+SQL_DISTINCT_EVENT_TYPES = "SELECT DISTINCT event_type FROM events"
+
+
+def q_daily_user_activity(sf_dir: str) -> Dataset:
+    """Windowed-by-day aggregate over the events stream table."""
+    events = _read(sf_dir, "events")
+
+    def day(df: pd.DataFrame) -> pd.DataFrame:
+        df["day"] = df["ts"].dt.strftime("%Y-%m-%d")
+        return df[["user_id", "day", "value"]]
+
+    agg = partial_grouped(
+        events.map_batches(day, batch_format="pandas"),
+        ["user_id", "day"],
+        {"value": "total_value"},
+        count_alias="n_events",
+    )
+    return round_cols(agg, ["total_value"])
+
+
+SQL_DAILY_USER_ACTIVITY = """
+SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,
+       ROUND(SUM(value), 3) AS total_value, COUNT(*) AS n_events
+FROM events GROUP BY user_id, day
+"""
+
+
+# --- B: triple emission (G1/G2/G3) --------------------------------------
+
+def q_customer_node_triples(sf_dir: str) -> Dataset:
+    return _read(sf_dir, "customer").map_batches(
+        lambda b: T.node_triples(b, id_col="c_custkey", node_type="customer"),
+        batch_format="pyarrow",
+    )
+
+
+SQL_CUSTOMER_NODE_TRIPLES = """
+SELECT 'customer:' || c_custkey AS subj, 'rdf:type' AS pred,
+       'customer' AS obj, 'resource' AS obj_dtype FROM customer
+UNION ALL SELECT 'customer:' || c_custkey, 'c_name', c_name, 'string' FROM customer
+UNION ALL SELECT 'customer:' || c_custkey, 'c_nationkey',
+       CAST(c_nationkey AS VARCHAR), 'integer' FROM customer
+UNION ALL SELECT 'customer:' || c_custkey, 'c_acctbal',
+       CAST(c_acctbal AS VARCHAR), 'double' FROM customer
+UNION ALL SELECT 'customer:' || c_custkey, 'c_mktsegment', c_mktsegment,
+       'string' FROM customer
+"""
+
+
+def q_order_edge_triples(sf_dir: str) -> Dataset:
+    roles = {
+        "1-URGENT": "urgent order",
+        "2-HIGH": "high order",
+        "3-MEDIUM": "medium order",
+        "4-NOT SPECIFIED": "unspecified order",
+        "5-LOW": "low order",
+    }
+    return _read(sf_dir, "orders").map_batches(
+        lambda b: T.edge_triples(
+            b,
+            src_col="o_custkey",
+            dst_col="o_orderkey",
+            src_type="customer",
+            dst_type="order",
+            fwd_pred="hasOrder",
+            inv_pred="isOrderOf",
+            role_col="o_orderpriority",
+            role_map=roles,
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_ORDER_EDGE_TRIPLES = """
+SELECT 'customer:' || o_custkey AS subj, 'hasOrder' AS pred,
+       'order:' || o_orderkey AS obj, 'resource' AS obj_dtype FROM orders
+UNION ALL SELECT 'order:' || o_orderkey, 'isOrderOf', 'customer:' || o_custkey,
+       'resource' FROM orders
+UNION ALL SELECT 'customer:' || o_custkey,
+       CASE o_orderpriority
+            WHEN '1-URGENT' THEN 'urgent_order'
+            WHEN '2-HIGH' THEN 'high_order'
+            WHEN '3-MEDIUM' THEN 'medium_order'
+            WHEN '4-NOT SPECIFIED' THEN 'unspecified_order'
+            WHEN '5-LOW' THEN 'low_order' END,
+       'order:' || o_orderkey, 'resource' FROM orders
+"""
+
+
+def q_subjects_1995_filled(sf_dir: str) -> Dataset:
+    """G3 conjunctive pattern query over the order node-triple table."""
+    triples_ds = _read(sf_dir, "orders").map_batches(
+        lambda b: T.node_triples(b, id_col="o_orderkey", node_type="order"),
+        batch_format="pyarrow",
+    )
+    return T.subjects_matching(
+        triples_ds,
+        [
+            {"pred": "o_orderdate", "obj_between": ("1995-01-01", "1995-12-32")},
+            {"pred": "o_orderstatus", "obj_in": ["F"]},
+        ],
+        num_partitions=8,
+    )
+
+
+SQL_SUBJECTS_1995_FILLED = """
+SELECT DISTINCT 'order:' || o_orderkey AS subj FROM orders
+WHERE CAST(o_orderdate AS VARCHAR) BETWEEN '1995-01-01' AND '1995-12-32'
+  AND o_orderstatus = 'F'
+"""
+
+
+# --- C: documents (dedup + text analysis) --------------------------------
+
+def q_docs_exact_dedup(sf_dir: str) -> Dataset:
+    return dedup.exact_dedup(_read(sf_dir, "documents"))
+
+
+SQL_DOCS_EXACT_DEDUP = """
+SELECT text, MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
+FROM documents GROUP BY text
+"""
+
+
+def q_docs_token_counts(sf_dir: str) -> Dataset:
+    ds = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    return ds.map_batches(textstats.token_count_batch, batch_format="pyarrow").select_columns(
+        ["doc_id", "n_tokens_ws"]
+    )
+
+
+SQL_DOCS_TOKEN_COUNTS = """
+SELECT doc_id,
+       CASE WHEN trim(text) = '' THEN 0
+            ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens_ws
+FROM documents
+"""
+
+
+def q_docs_quality(sf_dir: str) -> Dataset:
+    ds = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    return ds.map_batches(textstats.quality_batch, batch_format="pyarrow").select_columns(
+        ["doc_id", "n_words", "n_unique_words"]
+    )
+
+
+SQL_DOCS_QUALITY = """
+SELECT doc_id,
+       CASE WHEN trim(text) = '' THEN 0
+            ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_words,
+       CASE WHEN trim(text) = '' THEN 0
+            ELSE len(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) END
+           AS n_unique_words
+FROM documents
+"""
+
+
+def q_docs_lang_counts(sf_dir: str) -> Dataset:
+    return (
+        _read(sf_dir, "documents")
+        .groupby("lang")
+        .aggregate(Count(alias_name="n_docs"))
+    )
+
+
+SQL_DOCS_LANG_COUNTS = "SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang"
+
+
+# --- D: similarity search ------------------------------------------------
+
+def _query_vectors(sf_dir: str, n: int = 10):
+    tbl = (
+        _read(sf_dir, "embeddings")
+        .filter(expr=f"vec_id < {n}")
+        .select_columns(["vec_id", "embedding"])
+        .take_all()
+    )
+    tbl.sort(key=lambda r: r["vec_id"])
+    ids = [r["vec_id"] for r in tbl]
+    vecs = np.asarray([r["embedding"] for r in tbl], dtype=np.float64)
+    return ids, vecs
+
+
+def q_knn_bruteforce(sf_dir: str) -> Dataset:
+    ids, vecs = _query_vectors(sf_dir)
+    return knn.knn_topk(_read(sf_dir, "embeddings"), ids, vecs, k=5)
+
+
+SQL_KNN_BRUTEFORCE = """
+WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
+s AS (
+  SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
+         ROUND(list_cosine_similarity(CAST(q.qe AS DOUBLE[]),
+                                      CAST(e.embedding AS DOUBLE[])), 6) AS score
+  FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.qid
+)
+SELECT query_id, neighbor_id, score, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+  FROM s
+) WHERE rank <= 5
+"""
+
+
+# --- E: non-SQL-expressible (rows-only driver check) ---------------------
+
+def q_kg_flagship(sf_dir: str) -> Dataset:
+    """Full pipeline over the deterministic synthetic pages corpus
+    scaled by sf (no external data; FIXTURES.md §1)."""
+    from knowledge_graph_ray.pipelines.kg import build_kg
+    from knowledge_graph_ray.sources import synth
+
+    n = pages_count_for(sf_dir)
+    pages = synth.pages_dataset(n)
+    return build_kg(
+        pages,
+        synth.entities_table(),
+        synth.aliases_table(),
+        locations=synth.CITIES,
+        concurrency=(1, 2),
+        batch_size=128,
+    )
+
+
+def q_docs_minhash_pairs(sf_dir: str) -> Dataset:
+    return dedup.minhash_lsh_pairs(_read(sf_dir, "documents"), threshold=0.5)
+
+
+def q_docs_simhash_pairs(sf_dir: str) -> Dataset:
+    return dedup.simhash_pairs(_read(sf_dir, "documents"), max_hamming=6)
+
+
+def q_docs_ngram_jaccard_pairs(sf_dir: str) -> Dataset:
+    return dedup.ngram_jaccard_pairs(_read(sf_dir, "documents"), threshold=0.6)
+
+
+def q_embedding_dup_pairs(sf_dir: str) -> Dataset:
+    return dedup.embedding_cosine_pairs(_read(sf_dir, "embeddings"), threshold=0.95)
+
+
+def q_docs_langid(sf_dir: str) -> Dataset:
+    ds = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    return ds.map_batches(textstats.langid_batch, batch_format="pyarrow").select_columns(
+        ["doc_id", "lang_pred"]
+    )
+
+
+def q_docs_fingerprint(sf_dir: str) -> Dataset:
+    ds = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    return ds.map_batches(textstats.fingerprint_batch, batch_format="pyarrow").select_columns(
+        ["doc_id", "fingerprint64"]
+    )
+
+
+def q_knn_lsh(sf_dir: str) -> Dataset:
+    ids, vecs = _query_vectors(sf_dir)
+    return knn.knn_lsh(_read(sf_dir, "embeddings"), ids, vecs, k=5)
+
+
+def q_mention_canonicalization(sf_dir: str) -> Dataset:
+    """Salted canonicalization over synthetic page mentions (north-rule
+    op as a standalone query; deterministic, rows-only check)."""
+    from knowledge_graph_ray.functions.canon import canonical_surface_map, surface_stats
+    from knowledge_graph_ray.pipelines.kg import (
+        broadcast_entity_side,
+        extract_and_segment,
+        mention_stage,
+    )
+    from knowledge_graph_ray.sources import synth
+
+    n = min(pages_count_for(sf_dir), 400)
+    pages = synth.pages_dataset(n)
+    refs = broadcast_entity_side(
+        synth.entities_table(), synth.aliases_table(), synth.CITIES
+    )
+    paras = extract_and_segment(pages)
+    mentions = mention_stage(paras, refs, concurrency=(1, 2), batch_size=128)
+    stats = surface_stats(mentions)
+    return canonical_surface_map(stats)
+
+
+QUERIES = {
+    "agg_pricing_summary": q_agg_pricing_summary,
+    "revenue_by_nation": q_revenue_by_nation,
+    "building_orders": q_building_orders,
+    "topk_customers": q_topk_customers,
+    "distinct_event_types": q_distinct_event_types,
+    "daily_user_activity": q_daily_user_activity,
+    "customer_node_triples": q_customer_node_triples,
+    "order_edge_triples": q_order_edge_triples,
+    "subjects_1995_filled": q_subjects_1995_filled,
+    "docs_exact_dedup": q_docs_exact_dedup,
+    "docs_token_counts": q_docs_token_counts,
+    "docs_quality": q_docs_quality,
+    "docs_lang_counts": q_docs_lang_counts,
+    "knn_bruteforce": q_knn_bruteforce,
+    # rows-only (non-SQL-expressible)
+    "kg_flagship": q_kg_flagship,
+    "docs_minhash_pairs": q_docs_minhash_pairs,
+    "docs_simhash_pairs": q_docs_simhash_pairs,
+    "docs_ngram_jaccard_pairs": q_docs_ngram_jaccard_pairs,
+    "embedding_dup_pairs": q_embedding_dup_pairs,
+    "docs_langid": q_docs_langid,
+    "docs_fingerprint": q_docs_fingerprint,
+    "knn_lsh": q_knn_lsh,
+    "mention_canonicalization": q_mention_canonicalization,
+}
+
+ORACLE_SQL = {
+    "agg_pricing_summary": SQL_AGG_PRICING,
+    "revenue_by_nation": SQL_REVENUE_BY_NATION,
+    "building_orders": SQL_BUILDING_ORDERS,
+    "topk_customers": SQL_TOPK_CUSTOMERS,
+    "distinct_event_types": SQL_DISTINCT_EVENT_TYPES,
+    "daily_user_activity": SQL_DAILY_USER_ACTIVITY,
+    "customer_node_triples": SQL_CUSTOMER_NODE_TRIPLES,
+    "order_edge_triples": SQL_ORDER_EDGE_TRIPLES,
+    "subjects_1995_filled": SQL_SUBJECTS_1995_FILLED,
+    "docs_exact_dedup": SQL_DOCS_EXACT_DEDUP,
+    "docs_token_counts": SQL_DOCS_TOKEN_COUNTS,
+    "docs_quality": SQL_DOCS_QUALITY,
+    "docs_lang_counts": SQL_DOCS_LANG_COUNTS,
+    "knn_bruteforce": SQL_KNN_BRUTEFORCE,
+}

@@ -1,0 +1,44 @@
+"""Smoke: every rows-only (non-SQL-expressible) queries() entry runs
+at sf0.001 and yields a stable, non-degenerate result."""
+
+from __future__ import annotations
+
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+ROWS_ONLY = [
+    "kg_flagship",
+    "docs_minhash_pairs",
+    "docs_simhash_pairs",
+    "docs_ngram_jaccard_pairs",
+    "embedding_dup_pairs",
+    "docs_langid",
+    "docs_fingerprint",
+    "knn_lsh",
+    "mention_canonicalization",
+]
+
+MUST_HAVE_ROWS = {"kg_flagship", "docs_langid", "docs_fingerprint", "knn_lsh",
+                  "mention_canonicalization"}
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_query_runs(name, ray_session):
+    from knowledge_graph_ray.pipelines.queries import ORACLE_SQL, QUERIES
+
+    assert name not in ORACLE_SQL
+    ds = QUERIES[name](SF_DIR)
+    rows = ds.take_all()
+    if name in MUST_HAVE_ROWS:
+        assert len(rows) > 0
+    if rows:
+        keys = set(rows[0])
+        assert all(set(r) == keys for r in rows[:50])
+
+
+def test_registry_consistency():
+    from knowledge_graph_ray.pipelines.queries import ORACLE_SQL, QUERIES
+
+    assert set(ORACLE_SQL) <= set(QUERIES)
+    assert set(ROWS_ONLY) == set(QUERIES) - set(ORACLE_SQL)
