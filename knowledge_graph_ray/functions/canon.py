@@ -141,20 +141,50 @@ def add_surface_keys(
 def surface_stats(mentions_ds, n_salts: int = DEFAULT_SALTS):
     """Two-round salted distinct-surface aggregation.
 
-    Round 1: groupby((norm, salt)) → partial count (a hot surface is
-    split across n_salts reducers). Round 2: groupby(norm) → total
-    count. Returns a Dataset with (norm, n_mentions).
+    Round 0 (combiner): per-block pandas value-count — shrinks the
+    shuffle input to distinct-(norm, salt)-per-block before anything
+    moves. Round 1: groupby((norm, salt)) → partial count (a hot
+    surface is split across n_salts reducers). Round 2: groupby(norm)
+    → total count. Returns a Dataset with (norm, n_mentions).
     """
-    from ray.data.aggregate import Count, Sum
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
 
     keyed = mentions_ds.map_batches(
         lambda b: add_surface_keys(b, n_salts=n_salts), batch_format="pyarrow"
     )
-    partial = keyed.groupby(["norm", "salt"]).aggregate(
-        Count(alias_name="partial_count")
+
+    def block_combine(df: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            df.groupby(["norm", "salt"], as_index=False, sort=False)
+            .size()
+            .rename(columns={"size": "partial_count"})
+        )
+        return out
+
+    combined = keyed.map_batches(
+        block_combine, batch_format="pandas", batch_size=65536
     )
-    final = partial.groupby("norm").aggregate(
-        Sum("partial_count", alias_name="n_mentions")
+
+    # rounds 1-2: tree merge of the salted partials. After the block
+    # combiner the row count is (distinct norms × salts × blocks) — by
+    # construction small enough to broadcast (it becomes the canonical
+    # map), so coalescing repartitions beat a keyed shuffle. The salt
+    # key still bounds any one merge task's share of a hot surface.
+    merged = combined.repartition(8).map_batches(
+        lambda df: df.groupby(["norm", "salt"], as_index=False, sort=False).agg(
+            partial_count=("partial_count", "sum")
+        ),
+        batch_format="pandas",
+        batch_size=None,
+    )
+    final = merged.repartition(1).map_batches(
+        lambda df: df.groupby("norm", as_index=False, sort=False).agg(
+            n_mentions=("partial_count", "sum")
+        ),
+        batch_format="pandas",
+        batch_size=None,
     )
     return final
 
@@ -181,10 +211,20 @@ def cluster_block(df: pd.DataFrame, threshold: int = FUZZY_THRESHOLD) -> pd.Data
     return pd.DataFrame({"norm": norms, "canonical": [assign[n] for n in norms]})
 
 
-def canonical_surface_map(stats_ds, threshold: int = FUZZY_THRESHOLD):
-    """Distinct surfaces → canonical surface, via blocked fuzzy
-    clustering: add block_key → groupby(block_key).map_groups(cluster).
-    Returns Dataset (norm, canonical)."""
+def canonical_surface_map(
+    stats_ds, threshold: int = FUZZY_THRESHOLD, strategy: str = "tree"
+):
+    """Distinct surfaces → canonical surface via blocked fuzzy
+    clustering. Returns Dataset (norm, canonical).
+
+    strategy='tree' (default): distinct surfaces are already a small
+    side (they fit — they're the broadcast map's keys), so blocks are
+    clustered in ONE pandas kernel after a coalescing repartition —
+    Ray's per-group map_groups overhead (≈1 ms/group) would dominate
+    on the mostly-singleton block space.
+    strategy='shuffle': groupby(block_key).map_groups — keeps every
+    step distributed for extreme surface cardinalities.
+    """
 
     def add_block(batch: pa.Table) -> pa.Table:
         norms = batch.column("norm").to_pylist()
@@ -193,8 +233,31 @@ def canonical_surface_map(stats_ds, threshold: int = FUZZY_THRESHOLD):
         )
 
     blocked = stats_ds.map_batches(add_block, batch_format="pyarrow")
-    return blocked.groupby("block_key").map_groups(
-        lambda df: cluster_block(df, threshold), batch_format="pandas"
+    if strategy == "shuffle":
+        return blocked.groupby("block_key").map_groups(
+            lambda df: cluster_block(df, threshold), batch_format="pandas"
+        )
+
+    def cluster_all(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        # singleton blocks (the overwhelming majority) short-circuit
+        sizes = df.groupby("block_key")["norm"].transform("size")
+        single = df[sizes == 1]
+        if len(single):
+            outs.append(
+                pd.DataFrame({"norm": single["norm"], "canonical": single["norm"]})
+            )
+        multi = df[sizes > 1]
+        for _, g in multi.groupby("block_key", sort=False):
+            outs.append(cluster_block(g, threshold))
+        return (
+            pd.concat(outs, ignore_index=True)
+            if outs
+            else pd.DataFrame({"norm": [], "canonical": []}).astype("str")
+        )
+
+    return blocked.repartition(1).map_batches(
+        cluster_all, batch_format="pandas", batch_size=None
     )
 
 

@@ -61,6 +61,30 @@ def shingle_hashes(text: str, k: int = 3) -> np.ndarray:
     return np.unique(hash64_array(shingles))
 
 
+def _collision_only(banded: "Dataset", key: str, max_broadcast: int = 2_000_000):
+    """Pre-filter bucket rows to buckets holding >= 2 ids: a native
+    count-aggregate finds collision buckets (fast C path), the small
+    key set is broadcast, and only colliding rows reach the expensive
+    per-group Python kernel. Mostly-singleton bucket spaces (the
+    common case) shrink by orders of magnitude. Falls back to the
+    unfiltered dataset if the collision set itself is huge."""
+    import ray
+
+    counts = banded.groupby(key).aggregate(Count(alias_name="_n"))
+    hot_rows = counts.filter(expr="_n >= 2").select_columns([key]).take_all()
+    if len(hot_rows) > max_broadcast:
+        return banded
+    hot = frozenset(r[key] for r in hot_rows)
+    ref = ray.put(hot)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        s = ray.get(ref)
+        vals = batch.column(key).to_pylist()
+        return batch.filter(pa.array([v in s for v in vals], pa.bool_()))
+
+    return banded.map_batches(keep, batch_format="pyarrow")
+
+
 # ------------------------------------------------------------------ D1
 
 def exact_dedup(ds: Dataset, text_col: str = "text", id_col: str = "doc_id") -> Dataset:
@@ -178,7 +202,7 @@ def minhash_lsh_pairs(
         ),
         batch_format="pyarrow",
     )
-    pairs = banded.groupby("band_key").map_groups(
+    pairs = _collision_only(banded, "band_key").groupby("band_key").map_groups(
         lambda df: _bucket_pairs_minhash(df, threshold, group_cap),
         batch_format="pandas",
     )
@@ -261,7 +285,7 @@ def simhash_pairs(
         lambda b: simhash_rows(b, text_col=text_col, id_col=id_col, bands=bands),
         batch_format="pyarrow",
     )
-    pairs = banded.groupby("band_key").map_groups(
+    pairs = _collision_only(banded, "band_key").groupby("band_key").map_groups(
         lambda df: _bucket_pairs_simhash(df, max_hamming, group_cap),
         batch_format="pandas",
     )
@@ -315,7 +339,9 @@ def ngram_jaccard_pairs(
                     s_out.append(jac)
         return pd.DataFrame({"a": a_out, "b": b_out, "score": s_out})
 
-    pairs = banded.groupby("band_key").map_groups(verify, batch_format="pandas")
+    pairs = _collision_only(banded, "band_key").groupby("band_key").map_groups(
+        verify, batch_format="pandas"
+    )
     from ray.data.aggregate import Max
 
     return pairs.groupby(["a", "b"]).aggregate(Max("score", alias_name="score"))
@@ -385,7 +411,9 @@ def embedding_cosine_pairs(
         return pd.DataFrame({"a": a_out, "b": b_out, "score": s_out})
 
     bucketed = ds.map_batches(bucket, batch_format="pyarrow")
-    pairs = bucketed.groupby("bucket").map_groups(pairs_in_bucket, batch_format="pandas")
+    pairs = _collision_only(bucketed, "bucket").groupby("bucket").map_groups(
+        pairs_in_bucket, batch_format="pandas"
+    )
     from ray.data.aggregate import Max
 
     return pairs.groupby(["a", "b"]).aggregate(Max("score", alias_name="score"))

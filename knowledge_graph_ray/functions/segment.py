@@ -140,6 +140,70 @@ def normalize_lengths(
     return out
 
 
+# ------------------------------------------------- semantic splitting (M5)
+
+def _rev_sigmoid(x: np.ndarray) -> np.ndarray:
+    return 1.0 / (1.0 + np.exp(0.5 * x))
+
+
+def activated_similarities(sim: np.ndarray, p_size: int = 10) -> np.ndarray:
+    """Weighted sum of the sentence-similarity matrix's upper diagonals
+    with reverse-sigmoid distance decay (reference semantics,
+    extract_paragraphs_faster.py:37-63): position i scores how similar
+    sentence i is to its next ``p_size`` successors."""
+    n = sim.shape[0]
+    p = min(p_size, n)
+    weights = np.zeros(n)
+    weights[:p] = _rev_sigmoid(np.linspace(-10, 10, p))
+    out = np.zeros(n)
+    for k in range(n):
+        diag = np.diagonal(sim, offset=k)
+        out[: len(diag)] += weights[k] * diag
+    return out
+
+
+def local_minima(arr: np.ndarray, order: int = 2) -> list[int]:
+    """Indices that are strictly smaller than every neighbor within
+    ``order`` positions (argrelextrema(np.less) semantics)."""
+    n = len(arr)
+    out = []
+    for i in range(n):
+        lo, hi = max(0, i - order), min(n, i + order + 1)
+        window = np.concatenate([arr[lo:i], arr[i + 1 : hi]])
+        if len(window) and np.all(arr[i] < window):
+            out.append(i)
+    return out
+
+
+def semantic_paragraphs(
+    text: str, embed_fn, *, p_size: int = 10, order: int = 2
+) -> list[str]:
+    """M5: split a document into paragraphs at semantic breakpoints —
+    sentence embeddings → cosine-similarity diagonals → activation →
+    paragraph breaks at relative minima (reference
+    extract_paragraphs_faster.py:108-127, clean-room).
+
+    ``embed_fn(list[str]) -> (n, d) unit rows`` is injected: the
+    deterministic HashEmbedder in tests, a real model in production.
+    """
+    sents = wrap_long(merge_short(split_sentences(text.replace("\n", " "))))
+    if len(sents) <= 1:
+        return sents
+    emb = np.asarray(embed_fn(sents))
+    sim = emb @ emb.T
+    act = activated_similarities(sim, p_size=p_size)
+    breaks = set(local_minima(act, order=order))
+    paragraphs, cur = [], []
+    for i, s in enumerate(sents):
+        cur.append(s)
+        if i in breaks:
+            paragraphs.append(" ".join(cur))
+            cur = []
+    if cur:
+        paragraphs.append(" ".join(cur))
+    return paragraphs
+
+
 def doc_ids_for(urls: pa.Array | pa.ChunkedArray) -> np.ndarray:
     """Stable int64 doc id from url (the unique page key)."""
     return hash64_array(urls).view(np.int64)

@@ -176,25 +176,44 @@ def subjects_matching(
     num_partitions: int = 8,
 ) -> Dataset:
     """Conjunctive SPARQL-style query (rdf_graph.ipynb cell 47 shape):
-    distinct subjects satisfying EVERY pattern. Each pattern dict is
-    kwargs for ``filter_pred_obj``. Implemented as a chain of inner
-    joins on subj over the distinct subject sets."""
-    from ray.data.aggregate import Count
+    distinct subjects satisfying EVERY pattern. Implemented as
+    tag-union-count: each pattern's matches are tagged with their
+    pattern index, the union is aggregated ONCE on subj counting
+    distinct pattern tags — a single all-to-all instead of a join per
+    pattern."""
+    import pandas as pd
 
-    result: Dataset | None = None
+    n = len(patterns)
+    assert n >= 1, "need at least one pattern"
+    tagged = []
     for i, pat in enumerate(patterns):
-        subs = (
-            filter_pred_obj(triples, **pat)
-            .select_columns(["subj"])
-            .groupby("subj")
-            .aggregate(Count(alias_name=f"_c{i}"))
-            .select_columns(["subj"])
+        matches = filter_pred_obj(triples, **pat).select_columns(["subj"])
+        tagged.append(
+            matches.map_batches(
+                lambda b, tag=i: b.append_column(
+                    "_pat", pa.array([tag] * b.num_rows, pa.int32())
+                ),
+                batch_format="pyarrow",
+            )
         )
-        result = subs if result is None else result.join(
-            subs, join_type="inner", num_partitions=num_partitions, on=("subj",)
+    union = tagged[0].union(*tagged[1:]) if n > 1 else tagged[0]
+
+    # tree-distinct: per-batch dedup, then coalescing dedup rounds
+    # (pattern matches are selective → the distinct (subj, _pat) set is
+    # modest; for huge results switch the last level to groupby)
+    slim = union.map_batches(
+        lambda df: df.drop_duplicates(), batch_format="pandas", batch_size=None
+    )
+    for p in (4, 1):
+        slim = slim.repartition(p).map_batches(
+            lambda df: df.drop_duplicates(), batch_format="pandas", batch_size=None
         )
-    assert result is not None, "need at least one pattern"
-    return result
+
+    def conj(df: pd.DataFrame) -> pd.DataFrame:
+        counts = df.groupby("subj")["_pat"].nunique().reset_index(name="_n")
+        return counts[counts["_n"] == n][["subj"]]
+
+    return slim.map_batches(conj, batch_format="pandas", batch_size=None)
 
 
 # --------------------------------------------------------------- S11

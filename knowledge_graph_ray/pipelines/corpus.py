@@ -1,0 +1,114 @@
+"""Corpus build pipeline (reference lifecycle SURVEY.md §3.1):
+
+pages → extract (S3/M1) → segment (M2-M4) → exact paragraph dedup
+(D1, first-seen wins) → near-dup removal (D2, MinHash-banded — the
+reference's driver-RAM Annoy index re-architected as a shuffle) →
+per-doc length normalization (M6) → embedding (T1/T2 actor pool) →
+paragraphs with vectors.
+
+Every wide step keys explicitly: D1 on the paragraph text (bucketed
+hash shuffle, surviving ROW carried through — no corpus-sized
+broadcast), D2 on minhash band keys, M6 on doc_id (doc-local order by
+para_idx, SURVEY.md §2.11).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+
+from ray.data import Dataset
+
+from knowledge_graph_ray.functions import dedup
+from knowledge_graph_ray.functions.hashing import combine_hashes, hash64_array
+from knowledge_graph_ray.functions.segment import count_tokens, normalize_lengths
+from knowledge_graph_ray.pipelines.kg import extract_and_segment
+from knowledge_graph_ray.pipelines.relational import hash_bucket_agg
+from knowledge_graph_ray.stages.embed import EmbedActor
+
+
+def add_para_key(batch: pa.Table) -> pa.Table:
+    """Stable int64 paragraph key from (doc_id, para_idx) — the
+    reference's '{file}_{idx}' composite key as a typed column."""
+    import numpy as np
+
+    doc = batch.column("doc_id").to_numpy(zero_copy_only=False).astype("uint64")
+    idx = batch.column("para_idx").to_numpy(zero_copy_only=False).astype("uint64")
+    key = combine_hashes(doc, idx).view("int64")
+    return batch.append_column("para_key", pa.array(key))
+
+
+def dedup_paragraphs_exact(paras: Dataset) -> Dataset:
+    """D1: one surviving row per distinct paragraph text; winner = min
+    (doc_id, para_idx). The surviving row travels through the shuffle —
+    nothing corpus-sized is ever collected."""
+
+    def first_per_text(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["text", "doc_id", "para_idx"])
+        return df.drop_duplicates(subset=["text"], keep="first")
+
+    return hash_bucket_agg(paras, ["text"], first_per_text, num_buckets=64)
+
+
+def remove_near_dup_paragraphs(paras: Dataset, *, threshold: float = 0.85) -> Dataset:
+    """D2: drop near-duplicate paragraphs (boilerplate headers/footers;
+    reference threshold semantics remove_duplicate_paragraphs.py:
+    104-132 — cosine 0.98 over embeddings ≈ high Jaccard over text).
+    Pair generation is the banded MinHash shuffle; the drop set (pairs
+    only) is small and broadcast."""
+    keyed = paras.map_batches(add_para_key, batch_format="pyarrow")
+    pairs = dedup.minhash_lsh_pairs(
+        keyed, text_col="text", id_col="para_key", threshold=threshold
+    )
+    drops = dedup.drops_from_pairs(pairs)
+    return dedup.filter_dropped(keyed, drops, id_col="para_key")
+
+
+def normalize_doc_lengths(
+    paras: Dataset, *, min_tokens: int = 300, max_tokens: int = 500
+) -> Dataset:
+    """M6: per-document merge/split to the token band. Doc-local and
+    order-sensitive → map_groups(doc_id) with explicit para_idx sort."""
+
+    def fix_doc(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("para_idx")
+        out = normalize_lengths(
+            df["text"].tolist(), min_tokens=min_tokens, max_tokens=max_tokens
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].iloc[0],
+                "url": df["url"].iloc[0] if "url" in df else None,
+                "para_idx": range(len(out)),
+                "text": out,
+                "n_tokens": [count_tokens(t) for t in out],
+            }
+        )
+
+    return paras.groupby("doc_id").map_groups(fix_doc, batch_format="pandas")
+
+
+def build_corpus(
+    pages: Dataset,
+    *,
+    near_dup: bool = True,
+    normalize: bool = True,
+    embed_dim: int = 64,
+    concurrency: int | tuple = (1, 4),
+    batch_size: int = 1024,
+) -> Dataset:
+    """pages → deduped, (optionally) length-normalized, embedded
+    paragraph Dataset."""
+    paras = extract_and_segment(pages)
+    paras = dedup_paragraphs_exact(paras)
+    if near_dup:
+        paras = remove_near_dup_paragraphs(paras)
+    if normalize:
+        paras = normalize_doc_lengths(paras)
+    return paras.map_batches(
+        EmbedActor,
+        fn_constructor_kwargs={"dim": embed_dim},
+        concurrency=concurrency,
+        batch_size=batch_size,
+        batch_format="pyarrow",
+    )

@@ -4,23 +4,29 @@ reference lifecycle SURVEY.md §3.2).
 pages(url, warc_ts, html, lang)
   → extract (task map_batches, html dropped immediately)
   → segment (task map_batches, exploded paragraph rows)
-  → NER mentions (actor pool, gazetteer broadcast via ray.put)
-  → mention canonicalization (salted two-round groupby(surface_hash)
-    → blocked fuzzy clustering → small broadcast map)
-  → OpenIE triple extraction (actor pool)
-  → entity linking (actor pool: exact alias probe → ANN → NIL)
-  → triple dedup (groupby(subj,pred,obj) — the D1 shuffle)
+  → fused OpenIE + entity linking (ONE actor pool: pattern SVO
+    extraction, then exact alias probe → ANN → NIL per surface;
+    gazetteer/alias/embedding side broadcast once via ray.put)
+  → triple dedup (per-block combiner → hash-bucket shuffle on
+    (subj, pred, obj) — the D1 all-to-all)
+  → NIL-surface canonicalization (post-dedup: the distinct unlinked
+    surfaces are exactly the broadcast map's keys — tiny — so the
+    north-rule clustering runs OFF the corpus-sized path)
   → sort(subj) → write_parquet
 
-Only the canonical-surface map and the entity table are ever
-collected to the driver (both small by construction); everything else
-streams. The optional ``checkpoint_dir`` writes the paragraph stage
-to parquet and re-reads it, so the two consumers (mentions and
-triples) don't recompute extraction — and the stage becomes a
-resume point (SURVEY.md §4 checkpointing).
+Only the entity side and the canonical map are ever collected to the
+driver (both small by construction); everything else streams. The
+mention-corpus-scale canonicalization (salted groupby(surface_hash)
+over every mention) remains available as standalone operators
+(mention_stage + canon.surface_stats + canon.canonical_surface_map).
+``checkpoint_dir`` optionally persists the paragraph stage as a
+resume point; shard-level resumability with lineage manifests lives
+in ``run_kg_resumable`` (state/checkpoint.py).
 """
 
 from __future__ import annotations
+
+import os
 
 import numpy as np
 import pyarrow as pa
@@ -109,19 +115,13 @@ def triple_stage(
     ann: str = "brute",
     link_threshold: float = 0.35,
 ) -> Dataset:
-    raw = paras.map_batches(
-        PatternOpenIE,
+    from knowledge_graph_ray.stages.link import ExtractLinkActor
+
+    return paras.map_batches(
+        ExtractLinkActor,
         fn_constructor_kwargs={
             "gazetteer": refs["gazetteer_surfaces"],
             "locations": refs["locations"],
-        },
-        concurrency=concurrency,
-        batch_size=batch_size,
-        batch_format="pyarrow",
-    )
-    return raw.map_batches(
-        EntityLinker,
-        fn_constructor_kwargs={
             "alias_pairs": refs["alias_pairs"],
             "entity_ids": refs["entity_ids"],
             "entity_vecs": refs["entity_vecs"],
@@ -137,10 +137,30 @@ def triple_stage(
 
 def dedup_triples(linked: Dataset) -> Dataset:
     """D1 exact dedup shuffle: one row per distinct (subj, pred, obj),
-    with provenance (min doc_id) and support count."""
-    agg = linked.groupby(["subj", "pred", "obj"]).aggregate(
-        Count(alias_name="support"), Min("doc_id", alias_name="src_doc")
-    )
+    with provenance (min doc_id) and support count. A per-block
+    combiner shrinks the shuffle input before the all-to-all."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["subj", "pred", "obj"], as_index=False, sort=False).agg(
+            support=("doc_id", "size"), src_doc=("doc_id", "min")
+        )
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["subj", "pred", "obj"], as_index=False, sort=False).agg(
+            support=("support", "sum"), src_doc=("src_doc", "min")
+        )
+
+    from knowledge_graph_ray.pipelines.relational import hash_bucket_agg
+
+    # large batch_size bundles the actor stage's many small output
+    # blocks into few combiner tasks — the combiner only shrinks the
+    # shuffle if it sees wide batches; the all-to-all is a hash-bucket
+    # shuffle (int key), not a sort on three string keys
+    partial = linked.map_batches(combine, batch_format="pandas", batch_size=65536)
+    agg = hash_bucket_agg(partial, ["subj", "pred", "obj"], merge, num_buckets=64)
 
     def finalize(batch: pa.Table) -> pa.Table:
         objs = batch.column("obj").to_pylist()
@@ -157,7 +177,7 @@ def build_kg(
     locations=None,
     *,
     concurrency: int | tuple = (1, 4),
-    batch_size: int = 256,
+    batch_size: int = 1024,
     ann: str = "brute",
     link_threshold: float = 0.35,
     canonicalize: bool = True,
@@ -177,27 +197,164 @@ def build_kg(
         paras.write_parquet(checkpoint_dir)
         paras = rd.read_parquet(checkpoint_dir)
 
-    canonical_map: dict[str, str] = {}
-    if canonicalize:
-        mentions = mention_stage(
-            paras, refs, concurrency=concurrency, batch_size=batch_size
-        )
-        canonical_map = canonical_map_from_mentions(mentions, n_salts=n_salts)
-    refs["canonical_map"] = ray.put(canonical_map)
-
+    refs["canonical_map"] = ray.put({})
     linked = triple_stage(
         paras,
         refs,
-        canonical_map,
+        None,
         concurrency=concurrency,
         batch_size=batch_size,
         ann=ann,
         link_threshold=link_threshold,
     )
     triples = dedup_triples(linked)
+    if canonicalize:
+        # pin the post-dedup table (orders of magnitude smaller than
+        # the corpus; plasma-backed, spillable) — the NIL-surface scan
+        # is a second consumer and must not re-execute the corpus path
+        triples = triples.materialize()
+        triples = canonicalize_nil_surfaces(triples, threshold=85)
     if sort_output:
         triples = triples.sort("subj")
     return triples
+
+
+def canonicalize_nil_surfaces(triples: Dataset, threshold: int = 85) -> Dataset:
+    """Post-dedup NIL canonicalization: the distinct ``surface:`` ids
+    surviving in the deduplicated edge table are a SMALL set (they are
+    exactly the broadcast map's keys), so clustering happens after the
+    heavy shuffles, off the corpus-sized path. Surfaces that cluster
+    together are rewritten to the cluster head and the affected rows
+    re-merged. No-op (zero extra stages) when nothing clusters.
+
+    (Mention-corpus-scale canonicalization — salted surface stats over
+    every mention — remains available via canon.surface_stats /
+    canonical_map_from_mentions; reference semantics D4.)
+    """
+    import pandas as pd
+
+    from knowledge_graph_ray.functions.canon import cluster_block, block_key
+
+    def nil_surfaces(batch: pa.Table) -> pa.Table:
+        out = set()
+        for col in ("subj", "obj"):
+            for v in batch.column(col).to_pylist():
+                if v.startswith("surface:"):
+                    out.add(v[8:])
+            if "obj" not in batch.column_names:
+                break
+        return pa.table({"norm": pa.array(sorted(out), pa.string())})
+
+    distinct = {
+        r["norm"]
+        for r in triples.map_batches(nil_surfaces, batch_format="pyarrow").take_all()
+    }
+    if not distinct:
+        return triples
+    df = pd.DataFrame({"norm": sorted(distinct)})
+    df["block_key"] = df["norm"].map(block_key)
+    outs = [cluster_block(g, threshold) for _, g in df.groupby("block_key", sort=False)]
+    cmap = {
+        r.norm: r.canonical
+        for out in outs
+        for r in out.itertuples()
+        if r.norm != r.canonical
+    }
+    if not cmap:
+        return triples
+    ref = ray.put(cmap)
+
+    def remap(batch: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+
+        def fix(v: str) -> str:
+            if v.startswith("surface:"):
+                return "surface:" + m.get(v[8:], v[8:])
+            return v
+
+        cols = {}
+        for name in batch.column_names:
+            if name in ("subj", "obj"):
+                cols[name] = pa.array(
+                    [fix(v) for v in batch.column(name).to_pylist()], pa.string()
+                )
+            else:
+                cols[name] = batch.column(name)
+        return pa.table(cols)
+
+    remapped = triples.map_batches(remap, batch_format="pyarrow")
+
+    # re-merge rows whose keys collapsed together
+    def merge(df2: pd.DataFrame) -> pd.DataFrame:
+        return df2.groupby(
+            ["subj", "pred", "obj", "obj_is_literal"], as_index=False, sort=False
+        ).agg(support=("support", "sum"), src_doc=("src_doc", "min"))
+
+    from knowledge_graph_ray.pipelines.relational import hash_bucket_agg
+
+    return hash_bucket_agg(
+        remapped, ["subj", "pred", "obj"], merge, num_buckets=16
+    )
+
+
+def run_kg_resumable(
+    pages_dir: str,
+    entities: pa.Table,
+    aliases: pa.Table,
+    out_dir: str,
+    *,
+    locations=None,
+    n_shards: int = 8,
+    concurrency: int | tuple = (1, 4),
+    batch_size: int = 1024,
+    resume: bool = True,
+) -> dict:
+    """Checkpointed flagship run: input pages parquet dir → per-shard
+    triple extraction (resumable, SURVEY.md §4) → global merge →
+    NIL canonicalization → sort → ``out_dir/final``.
+
+    A killed run restarted with the same arguments recomputes only
+    unfinished shards (state/checkpoint.py manifests carry lineage +
+    row counts + wall time) and produces identical final output.
+    """
+    import pandas as pd
+
+    from knowledge_graph_ray.pipelines.relational import hash_bucket_agg
+    from knowledge_graph_ray.state import checkpoint as ckpt
+
+    refs = broadcast_entity_side(entities, aliases, locations)
+    refs["gazetteer_surfaces"] = ray.put([a for a, _ in ray.get(refs["alias_pairs"])])
+    refs["canonical_map"] = ray.put({})
+
+    def build(shard_pages: Dataset) -> Dataset:
+        paras = extract_and_segment(shard_pages)
+        linked = triple_stage(
+            paras, refs, None, concurrency=concurrency, batch_size=batch_size
+        )
+        return dedup_triples(linked)  # per-shard local dedup
+
+    shards = ckpt.shard_input_files(pages_dir, n_shards)
+    results = ckpt.run_sharded(shards, build, os.path.join(out_dir, "stage_triples"),
+                               resume=resume)
+
+    # global merge: shard-local distinct rows → one more keyed merge
+    merged = hash_bucket_agg(
+        ckpt.read_all_shards(os.path.join(out_dir, "stage_triples")),
+        ["subj", "pred", "obj"],
+        lambda df: df.groupby(
+            ["subj", "pred", "obj", "obj_is_literal"], as_index=False, sort=False
+        ).agg(support=("support", "sum"), src_doc=("src_doc", "min")),
+        num_buckets=max(16, n_shards),
+    )
+    final = canonicalize_nil_surfaces(merged.materialize()).sort("subj")
+    final_dir = os.path.join(out_dir, "final")
+    import shutil
+
+    shutil.rmtree(final_dir, ignore_errors=True)
+    final.write_parquet(final_dir)
+    report = ckpt.run_report(results)
+    report["final_dir"] = final_dir
+    return report
 
 
 def build_kg_from_dir(corpus_dir: str, **kwargs) -> Dataset:

@@ -31,8 +31,13 @@ from knowledge_graph_ray.pipelines import relational as R
 from knowledge_graph_ray.stages import knn
 
 
-def _read(sf_dir: str, table: str) -> Dataset:
-    return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"))
+def _read(sf_dir: str, table: str, blocks: int = 32) -> Dataset:
+    """Read one driver table; split single-file inputs into multiple
+    blocks so downstream map stages parallelize (Ray clamps to the
+    file's row-group structure)."""
+    return rd.read_parquet(
+        os.path.join(sf_dir, f"{table}.parquet"), override_num_blocks=blocks
+    )
 
 
 def sf_of(sf_dir: str) -> float:
@@ -54,10 +59,21 @@ def partial_grouped(
     keys: list[str],
     sum_cols: dict[str, str],
     count_alias: str | None = None,
+    tree: bool = True,
 ) -> Dataset:
-    """Pre-aggregate inside map_batches (combiner), then a small final
-    groupby over partials — the scale pattern for high-cardinality
-    aggregation (SURVEY.md §4: push aggregation partial)."""
+    """Pre-aggregate inside map_batches (combiner), then merge partials
+    (SURVEY.md §4: push aggregation partial).
+
+    Merge strategies:
+    - ``tree=True`` (default): tree aggregation — repartition the
+      already-combined partials down (k → 4 → 1 blocks) re-combining at
+      each level. An order of magnitude cheaper than the groupby
+      barrier when the RESULT cardinality is modest (≤ a few million
+      rows); the final level is one block, so this is wrong for
+      billion-group results.
+    - ``tree=False``: Ray-native sort-based ``groupby().aggregate`` —
+      fully scalable in result cardinality; higher constant cost.
+    """
 
     def combine(df: pd.DataFrame) -> pd.DataFrame:
         agg = {alias: (col, "sum") for col, alias in sum_cols.items()}
@@ -65,20 +81,38 @@ def partial_grouped(
             agg[count_alias] = (keys[0], "size")
         return df.groupby(keys, as_index=False, sort=False).agg(**agg)
 
-    partials = ds.map_batches(combine, batch_format="pandas")
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        cols = list(sum_cols.values()) + ([count_alias] if count_alias else [])
+        agg = {c: (c, "sum") for c in cols}
+        return df.groupby(keys, as_index=False, sort=False).agg(**agg)
+
+    # batch_size=None → whole blocks: one pandas groupby per block, not
+    # per 1024-row slice (the combiner must see big batches to shrink)
+    partials = ds.map_batches(combine, batch_format="pandas", batch_size=None)
+    if tree:
+        for p in (4, 1):
+            partials = partials.repartition(p).map_batches(
+                merge, batch_format="pandas", batch_size=None
+            )
+        return partials
     aggs = [Sum(alias, alias_name=alias) for alias in sum_cols.values()]
     if count_alias:
         aggs.append(Sum(count_alias, alias_name=count_alias))
     return partials.groupby(keys).aggregate(*aggs)
 
 
-def round_cols(ds: Dataset, cols: list[str], ndigits: int = 3) -> Dataset:
+def int_cols(ds: Dataset, cols: list[str], scale: float = 1.0) -> Dataset:
+    """Integerize double aggregates: round(x * scale) as int64. Float
+    sums accumulate ~1e-6 error at 1e9 magnitudes; a 3-decimal round
+    can land on a grid boundary and flip the driver's value hash — an
+    integer cast at unit (or scaled) precision cannot."""
+
     def fix(df: pd.DataFrame) -> pd.DataFrame:
         for c in cols:
-            df[c] = df[c].astype(float).round(ndigits)
+            df[c] = (df[c].astype(float) * scale).round(0).astype("int64")
         return df
 
-    return ds.map_batches(fix, batch_format="pandas")
+    return ds.map_batches(fix, batch_format="pandas", batch_size=None)
 
 
 # ================================================================ queries
@@ -97,7 +131,7 @@ def q_agg_pricing_summary(sf_dir: str) -> Dataset:
         ]
 
     agg = partial_grouped(
-        li.map_batches(widen, batch_format="pandas"),
+        li.map_batches(widen, batch_format="pandas", batch_size=None),
         ["l_returnflag", "l_linestatus"],
         {
             "l_quantity": "sum_qty",
@@ -109,9 +143,11 @@ def q_agg_pricing_summary(sf_dir: str) -> Dataset:
     )
 
     def finalize(df: pd.DataFrame) -> pd.DataFrame:
-        df["avg_disc"] = (df["sum_disc"] / df["count_order"]).round(3)
+        df["avg_disc_bp"] = (
+            (df["sum_disc"] / df["count_order"]) * 10000
+        ).round(0).astype("int64")
         for c in ("sum_qty", "sum_base_price", "sum_disc_price"):
-            df[c] = df[c].round(3)
+            df[c] = df[c].round(0).astype("int64")
         return df.drop(columns=["sum_disc"])
 
     return agg.map_batches(finalize, batch_format="pandas")
@@ -119,10 +155,11 @@ def q_agg_pricing_summary(sf_dir: str) -> Dataset:
 
 SQL_AGG_PRICING = """
 SELECT l_returnflag, l_linestatus,
-       ROUND(SUM(l_quantity), 3)                          AS sum_qty,
-       ROUND(SUM(l_extendedprice), 3)                     AS sum_base_price,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 3)  AS sum_disc_price,
-       ROUND(AVG(l_discount), 3)                          AS avg_disc,
+       CAST(ROUND(SUM(l_quantity), 0) AS BIGINT)          AS sum_qty,
+       CAST(ROUND(SUM(l_extendedprice), 0) AS BIGINT)     AS sum_base_price,
+       CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)), 0) AS BIGINT)
+                                                          AS sum_disc_price,
+       CAST(ROUND(AVG(l_discount) * 10000, 0) AS BIGINT)  AS avg_disc_bp,
        COUNT(*)                                           AS count_order
 FROM lineitem GROUP BY l_returnflag, l_linestatus
 """
@@ -147,13 +184,16 @@ def q_revenue_by_nation(sf_dir: str) -> Dataset:
         enriched, nat_tbl, key="c_nationkey", small_key="n_nationkey", cols=["n_name"]
     )
     agg = partial_grouped(
-        named, ["n_name"], {"o_totalprice": "revenue"}, count_alias="n_orders"
+        named,
+        ["n_name"],
+        {"o_totalprice": "revenue"},
+        count_alias="n_orders",
     )
-    return round_cols(agg, ["revenue"])
+    return int_cols(agg, ["revenue"])
 
 
 SQL_REVENUE_BY_NATION = """
-SELECT n_name, ROUND(SUM(o_totalprice), 3) AS revenue, COUNT(*) AS n_orders
+SELECT n_name, CAST(ROUND(SUM(o_totalprice), 0) AS BIGINT) AS revenue, COUNT(*) AS n_orders
 FROM orders
 JOIN customer ON o_custkey = c_custkey
 JOIN nation   ON c_nationkey = n_nationkey
@@ -173,13 +213,16 @@ def q_building_orders(sf_dir: str) -> Dataset:
     ]
     filtered = R.semi_filter(orders, keys, col="o_custkey")
     agg = partial_grouped(
-        filtered, ["o_orderpriority"], {"o_totalprice": "total"}, count_alias="n_orders"
+        filtered,
+        ["o_orderpriority"],
+        {"o_totalprice": "total"},
+        count_alias="n_orders",
     )
-    return round_cols(agg, ["total"])
+    return int_cols(agg, ["total"])
 
 
 SQL_BUILDING_ORDERS = """
-SELECT o_orderpriority, ROUND(SUM(o_totalprice), 3) AS total, COUNT(*) AS n_orders
+SELECT o_orderpriority, CAST(ROUND(SUM(o_totalprice), 0) AS BIGINT) AS total, COUNT(*) AS n_orders
 FROM orders
 WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
 GROUP BY o_orderpriority
@@ -224,17 +267,18 @@ def q_daily_user_activity(sf_dir: str) -> Dataset:
         return df[["user_id", "day", "value"]]
 
     agg = partial_grouped(
-        events.map_batches(day, batch_format="pandas"),
+        events.map_batches(day, batch_format="pandas", batch_size=None),
         ["user_id", "day"],
-        {"value": "total_value"},
+        {"value": "total_value_milli"},
         count_alias="n_events",
     )
-    return round_cols(agg, ["total_value"])
+    return int_cols(agg, ["total_value_milli"], scale=1000.0)
 
 
 SQL_DAILY_USER_ACTIVITY = """
 SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,
-       ROUND(SUM(value), 3) AS total_value, COUNT(*) AS n_events
+       CAST(ROUND(SUM(value) * 1000, 0) AS BIGINT) AS total_value_milli,
+       COUNT(*) AS n_events
 FROM events GROUP BY user_id, day
 """
 
@@ -245,6 +289,7 @@ def q_customer_node_triples(sf_dir: str) -> Dataset:
     return _read(sf_dir, "customer").map_batches(
         lambda b: T.node_triples(b, id_col="c_custkey", node_type="customer"),
         batch_format="pyarrow",
+        batch_size=None,
     )
 
 
@@ -338,7 +383,7 @@ FROM documents GROUP BY text
 
 def q_docs_token_counts(sf_dir: str) -> Dataset:
     ds = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
-    return ds.map_batches(textstats.token_count_batch, batch_format="pyarrow").select_columns(
+    return ds.map_batches(textstats.token_count_batch, batch_format="pyarrow", batch_size=None).select_columns(
         ["doc_id", "n_tokens_ws"]
     )
 
@@ -353,7 +398,7 @@ FROM documents
 
 def q_docs_quality(sf_dir: str) -> Dataset:
     ds = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
-    return ds.map_batches(textstats.quality_batch, batch_format="pyarrow").select_columns(
+    return ds.map_batches(textstats.quality_batch, batch_format="pyarrow", batch_size=None).select_columns(
         ["doc_id", "n_words", "n_unique_words"]
     )
 
@@ -454,14 +499,14 @@ def q_embedding_dup_pairs(sf_dir: str) -> Dataset:
 
 def q_docs_langid(sf_dir: str) -> Dataset:
     ds = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
-    return ds.map_batches(textstats.langid_batch, batch_format="pyarrow").select_columns(
+    return ds.map_batches(textstats.langid_batch, batch_format="pyarrow", batch_size=None).select_columns(
         ["doc_id", "lang_pred"]
     )
 
 
 def q_docs_fingerprint(sf_dir: str) -> Dataset:
     ds = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
-    return ds.map_batches(textstats.fingerprint_batch, batch_format="pyarrow").select_columns(
+    return ds.map_batches(textstats.fingerprint_batch, batch_format="pyarrow", batch_size=None).select_columns(
         ["doc_id", "fingerprint64"]
     )
 

@@ -79,6 +79,45 @@ def semi_filter(
     return ds.map_batches(probe, batch_format="pyarrow")
 
 
+def hash_bucket_agg(
+    ds: Dataset,
+    keys: list[str],
+    combine,
+    *,
+    num_buckets: int = 64,
+):
+    """Hash-shuffle aggregation: rows are bucketed by a stable hash of
+    the key columns (int key), shuffled once on that SMALL int key, and
+    each bucket is reduced by ONE vectorized pandas ``combine`` call.
+
+    Ray's native sort-based Aggregate orders the whole dataset by the
+    raw (possibly string) keys — measured ~6k rows/s on 3-string keys.
+    Bucketing turns that into an int sort plus ``num_buckets`` pandas
+    group-reduces (each ≥ thousands of rows → vectorization wins).
+    ``num_buckets`` is the reducer parallelism: size it ≥ cluster cores
+    at real scale; hot KEYS are fine (a bucket holds many keys), hot
+    buckets only occur if one single key dominates — pre-combine
+    upstream first (all call sites here do)."""
+    import pandas as pd
+
+    from knowledge_graph_ray.functions.hashing import combine_hashes, hash64_array
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        cols = [hash64_array(df[k].to_numpy()) for k in keys]
+        df = df.copy()
+        df["_bucket"] = (combine_hashes(*cols) % num_buckets).astype("int64")
+        return df
+
+    bucketed = ds.map_batches(bucket, batch_format="pandas", batch_size=None)
+
+    def reduce_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return combine(df.drop(columns=["_bucket"]))
+
+    return bucketed.groupby("_bucket").map_groups(
+        reduce_bucket, batch_format="pandas"
+    )
+
+
 def hash_join(
     left: Dataset,
     right: Dataset,

@@ -170,3 +170,23 @@ class EntityLinker:
         surfaces = batch.column("surface").to_pylist()
         resolved = [self.resolve(s) for s in surfaces]
         return batch.append_column("entity", pa.array(resolved, pa.string()))
+
+
+class ExtractLinkActor:
+    """Fused OpenIE + linking actor (operator fusion: one pool, one
+    hop — extraction output never re-enters the object store)."""
+
+    def __init__(
+        self,
+        gazetteer=None,
+        locations=None,
+        verbs=None,
+        **linker_kwargs,
+    ):
+        from knowledge_graph_ray.stages.openie import PatternOpenIE
+
+        self.ie = PatternOpenIE(gazetteer=gazetteer, locations=locations, verbs=verbs)
+        self.linker = EntityLinker(**linker_kwargs)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return self.linker(self.ie(batch))

@@ -1,0 +1,130 @@
+"""Resumable sharded runs with per-partition manifests (SURVEY.md §5.6)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+import ray.data as rd
+
+from knowledge_graph_ray.sources import synth
+from knowledge_graph_ray.state import checkpoint as ckpt
+
+
+@pytest.fixture()
+def pages_dir(tmp_path):
+    d = tmp_path / "pages"
+    d.mkdir()
+    tbl = synth.pages_table(40)
+    for i in range(4):
+        pq.write_table(tbl.slice(i * 10, 10), str(d / f"part-{i}.parquet"))
+    return str(d)
+
+
+def upper_stage(ds):
+    def f(batch: pa.Table) -> pa.Table:
+        return batch.select(["url", "lang"])
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def test_sharding_deterministic(pages_dir):
+    a = ckpt.shard_input_files(pages_dir, 2)
+    b = ckpt.shard_input_files(pages_dir, 2)
+    assert a == b
+    assert sum(len(v) for v in a.values()) == 4
+
+
+def test_run_and_resume_skips_done(pages_dir, tmp_path, ray_session):
+    out = str(tmp_path / "out")
+    shards = ckpt.shard_input_files(pages_dir, 4)
+    r1 = ckpt.run_sharded(shards, upper_stage, out)
+    assert all(not m["skipped"] for m in r1.values())
+    assert ckpt.read_all_shards(out).count() == 40
+    # restart: everything skipped, identical output
+    r2 = ckpt.run_sharded(shards, upper_stage, out)
+    assert all(m["skipped"] for m in r2.values())
+    assert ckpt.read_all_shards(out).count() == 40
+
+
+def test_crash_midway_then_resume(pages_dir, tmp_path, ray_session):
+    out = str(tmp_path / "out")
+    shards = ckpt.shard_input_files(pages_dir, 4)
+    calls = {"n": 0}
+
+    def flaky(ds):
+        calls["n"] += 1
+        if calls["n"] == 3:
+            raise RuntimeError("simulated crash")
+        return upper_stage(ds)
+
+    with pytest.raises(RuntimeError):
+        ckpt.run_sharded(shards, flaky, out)
+    done_before = set(ckpt.load_manifests(out))
+    assert len(done_before) == 2  # two committed before the crash
+
+    r = ckpt.run_sharded(shards, upper_stage, out)
+    skipped = {k for k, m in r.items() if m["skipped"]}
+    assert skipped == done_before  # finished shards not recomputed
+    assert ckpt.read_all_shards(out).count() == 40
+
+
+def test_input_change_invalidates_manifest(pages_dir, tmp_path, ray_session):
+    out = str(tmp_path / "out")
+    shards = ckpt.shard_input_files(pages_dir, 2)
+    ckpt.run_sharded(shards, upper_stage, out)
+    # grow one input file → its shard must recompute
+    target = shards["0000"][0]
+    tbl = pq.read_table(target)
+    pq.write_table(pa.concat_tables([tbl, tbl]), target)
+    r = ckpt.run_sharded(ckpt.shard_input_files(pages_dir, 2), upper_stage, out)
+    assert r["0000"]["skipped"] is False
+    assert r["0001"]["skipped"] is True
+
+
+def test_manifest_contents(pages_dir, tmp_path, ray_session):
+    out = str(tmp_path / "out")
+    shards = ckpt.shard_input_files(pages_dir, 1)
+    r = ckpt.run_sharded(shards, upper_stage, out)
+    m = json.load(open(os.path.join(out, "_manifest", "0000.json")))
+    assert m["rows_in"] == 40 and m["rows_out"] == 40
+    assert m["wall_s"] > 0 and m["status"] == "done"
+    rep = ckpt.run_report(r)
+    assert rep["shards"] == 1 and rep["rows_out"] == 40
+
+
+def test_run_kg_resumable_end_to_end(pages_dir, tmp_path, ray_session):
+    from knowledge_graph_ray.pipelines.kg import run_kg_resumable
+
+    out = str(tmp_path / "kg")
+    rep = run_kg_resumable(
+        pages_dir,
+        synth.entities_table(),
+        synth.aliases_table(),
+        out,
+        locations=synth.CITIES,
+        n_shards=2,
+        concurrency=1,
+        batch_size=64,
+    )
+    final = rd.read_parquet(rep["final_dir"])
+    got = {(r["subj"], r["pred"], r["obj"]) for r in final.take_all()}
+    assert got == synth.golden_triples(40)
+    # resume: shards skipped, final identical
+    rep2 = run_kg_resumable(
+        pages_dir,
+        synth.entities_table(),
+        synth.aliases_table(),
+        out,
+        locations=synth.CITIES,
+        n_shards=2,
+        concurrency=1,
+        batch_size=64,
+    )
+    assert rep2["skipped"] == 2
+    final2 = rd.read_parquet(rep2["final_dir"])
+    assert {(r["subj"], r["pred"], r["obj"]) for r in final2.take_all()} == got

@@ -1,0 +1,119 @@
+"""Multimodal stage plumbing + corpus build pipeline + M5 segmentation."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+import ray.data as rd
+
+from knowledge_graph_ray.functions.segment import (
+    activated_similarities,
+    local_minima,
+    semantic_paragraphs,
+)
+from knowledge_graph_ray.stages import multimodal as mm
+from knowledge_graph_ray.stages.embed import HashEmbedder
+from knowledge_graph_ray.stages.segment_semantic import SemanticSegmentActor
+from knowledge_graph_ray.sources import synth
+
+
+# ------------------------------------------------------------- multimodal
+
+def test_media_table_deterministic():
+    a, b = mm.synth_media_table(12), mm.synth_media_table(12)
+    assert a.equals(b)
+
+
+def test_image_decode_plumbing(ray_session):
+    ds = rd.from_arrow(mm.synth_media_table(24))
+    feats, frames = mm.media_pipeline(ds, concurrency=1, batch_size=4)
+    frows = feats.take_all()
+    assert len(frows) == 8  # 24/3 images
+    for r in frows:
+        assert r["width"] >= 64 and r["n_channels"] == 3
+        assert len(r["embedding"]) == mm.FEATURE_DIM
+        assert abs(float(np.linalg.norm(r["embedding"])) - 1.0) < 1e-5
+    vrows = frames.take_all()
+    assert len(vrows) == 8 * 4  # frames_per_video
+    assert {r["frame_idx"] for r in vrows} == {0, 1, 2, 3}
+
+
+def test_strict_decode_raises():
+    actor = mm.ImageDecodeActor(strict=True)
+    with pytest.raises(NotImplementedError):
+        actor.decode(b"xx")
+    with pytest.raises(NotImplementedError):
+        mm.MediaFeatureActor(strict=True).embed(b"xx")
+
+
+# ------------------------------------------------------------ M5 semantic
+
+def test_local_minima_matches_definition():
+    arr = np.array([3.0, 1.0, 2.0, 5.0, 0.5, 4.0, 4.5])
+    # indices 1 (1.0 < 3,2,5) and 4 (0.5 < 2,5,4,4.5) are both minima
+    assert local_minima(arr, order=2) == [1, 4]
+    assert local_minima(np.array([1.0]), order=2) == []
+
+
+def test_activated_similarities_shape():
+    sim = np.eye(5)
+    act = activated_similarities(sim, p_size=3)
+    assert act.shape == (5,)
+
+
+def test_semantic_paragraphs_splits_topic_shift():
+    emb = HashEmbedder(64)
+    topic_a = "the cat sat on the soft warm mat near the door. " * 3
+    topic_b = "distributed query engines shuffle arrow record batches fast. " * 3
+    paras = semantic_paragraphs(topic_a + topic_b, emb.encode)
+    assert len(paras) >= 2
+    joined = " ".join(paras)
+    assert "cat" in joined and "shuffle" in joined
+
+
+def test_semantic_segment_actor(ray_session):
+    pages = synth.pages_table(6)
+    import pyarrow as pa
+
+    docs = pa.table({"url": pages.column("url"), "text": pages.column("text")})
+    out = rd.from_arrow(docs).map_batches(
+        SemanticSegmentActor, concurrency=1, batch_format="pyarrow"
+    )
+    rows = out.take_all()
+    assert rows and all(r["text"].strip() for r in rows)
+    # para_idx dense per doc
+    import collections
+
+    by_doc = collections.defaultdict(list)
+    for r in rows:
+        by_doc[r["doc_id"]].append(r["para_idx"])
+    assert all(v == list(range(len(v))) for v in by_doc.values())
+
+
+# --------------------------------------------------------------- corpus
+
+def test_build_corpus_end_to_end(ray_session):
+    from knowledge_graph_ray.pipelines.corpus import build_corpus
+
+    pages = rd.from_arrow(synth.pages_table(40))
+    out = build_corpus(pages, concurrency=1, batch_size=64, normalize=False)
+    rows = out.take_all()
+    assert rows
+    texts = [r["text"] for r in rows]
+    assert len(texts) == len(set(texts))  # exact dedup held
+    # boilerplate header appears on ~30% of pages but survives at most once
+    assert sum("Site navigation" in t for t in texts) <= 1
+    assert all(len(r["embedding"]) == 64 for r in rows)
+
+
+def test_build_corpus_normalized_band(ray_session):
+    from knowledge_graph_ray.pipelines.corpus import build_corpus
+
+    pages = rd.from_arrow(synth.pages_table(20))
+    out = build_corpus(
+        pages, concurrency=1, batch_size=64, near_dup=False, normalize=True
+    )
+    rows = out.take_all()
+    assert rows
+    assert all(r["n_tokens"] <= 500 for r in rows)
