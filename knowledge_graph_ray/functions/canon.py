@@ -263,6 +263,49 @@ def canonical_surface_map(
 
 # ---------------------------------------------------------------- D5
 
+def assemble_alias_map(entities: pa.Table, threshold: int = FUZZY_THRESHOLD) -> pa.Table:
+    """G5 alias-map assembly (entity_alias_mapping.ipynb cell 29):
+    union of D4 fuzzy clusters + D5 same-name groups + cleaned names →
+    exploded (entity_id, alias) table. Each entity aliases its own
+    cleaned name, the names of exact-same-named entities, and the
+    names of fuzzy-cluster co-members (institutions)."""
+    ids = entities.column("entity_id").to_pylist()
+    names = [clean_name(n) for n in entities.column("name").to_pylist()]
+    types = entities.column("entity_type").to_pylist()
+    aliases: dict[int, set[str]] = {eid: {n} for eid, n in zip(ids, names)}
+
+    # D5: exact same cleaned name
+    by_name: dict[str, list[int]] = {}
+    for eid, n in zip(ids, names):
+        by_name.setdefault(n, []).append(eid)
+    for group in by_name.values():
+        if len(group) > 1:
+            for eid in group:
+                aliases[eid].update(names[ids.index(g)] for g in group)
+
+    # D4: fuzzy clusters over institution names, blocked
+    inst = [(eid, n) for eid, n, t in zip(ids, names, types) if t == "institution"]
+    blocks: dict[str, list[tuple[int, str]]] = {}
+    for eid, n in inst:
+        blocks.setdefault(block_key(n), []).append((eid, n))
+    for members in blocks.values():
+        if len(members) < 2:
+            continue
+        for eid_a, n_a in members:
+            for eid_b, n_b in members:
+                if eid_a != eid_b and token_set_ratio(n_a, n_b) >= threshold:
+                    aliases[eid_a].add(n_b)
+
+    o_id, o_alias = [], []
+    for eid in ids:
+        for a in sorted(aliases[eid]):
+            o_id.append(eid)
+            o_alias.append(a)
+    return pa.table(
+        {"entity_id": pa.array(o_id, pa.int64()), "alias": pa.array(o_alias, pa.string())}
+    )
+
+
 def same_name_groups(entities: pa.Table) -> pa.Table:
     """D5: persons sharing the exact cleaned name → (entity_id,
     same_named_id) edge rows (mutual, excluding self)."""

@@ -76,6 +76,22 @@ def clean_text(text: str) -> str:
     return _MULTI_NEWLINE.sub("\n\n", text)
 
 
+def sniff_kind(payload: bytes | str) -> str:
+    """Content sniff (S4 dispatch): '%PDF' magic → pdf, else html."""
+    if isinstance(payload, bytes) and payload[:5] == b"%PDF-":
+        return "pdf"
+    return "html"
+
+
+def extract_text_from_pdf(payload: bytes) -> str:
+    """S4 PDF→text (reference get_files.py:23-35, PyPDF2 page loop).
+    No PDF library in this container — STUB: raises, and the caller's
+    quarantine column records the row (v1 ships html only)."""
+    raise NotImplementedError(
+        "PDF extraction requires a PDF library; plug a real extractor here"
+    )
+
+
 def extract_text(html: bytes | str) -> str:
     """Frozen pure function: html bytes → cleaned text. Never raises on
     malformed markup (html.parser is forgiving by construction)."""
@@ -94,9 +110,14 @@ def extract_batch(batch: pa.Table) -> pa.Table:
     errors: list[str | None] = []
     for raw in htmls:
         try:
-            texts.append(extract_text(raw) if raw is not None else "")
+            if raw is None:
+                texts.append("")
+            elif sniff_kind(raw) == "pdf":
+                texts.append(clean_text(extract_text_from_pdf(raw)))
+            else:
+                texts.append(extract_text(raw))
             errors.append(None)
-        except Exception as exc:  # pragma: no cover — parser never raises
+        except Exception as exc:  # quarantine, never raise (bad_files)
             texts.append("")
             errors.append(f"{type(exc).__name__}: {exc}")
 

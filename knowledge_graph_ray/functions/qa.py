@@ -1,0 +1,118 @@
+"""QA-pair extraction and text parsers (SURVEY.md M8-M11, M15, M16,
+K3-adjacent chunking M9).
+
+Clean-room re-expressions of the reference's regex parsers:
+- M8  Q/A pair extraction with fallback formats
+  (create_QA_dataset.py:15-42: ``Spørgsmål N: ... Svar N: ...``).
+- M9  token-budget chunk packing with quarantine
+  (extract_qa.py:19-54).
+- M10 question whitespace normalization
+  (reword_questions_multiprocessing.py:20-23).
+- M11 title prefix strip (getting_random_subset.ipynb cell 25).
+- M15 relevance-score parser (assign_relevance.py:66-67).
+- M16 MCQ chosen-index parser (mcq_search.py:74-96).
+
+All stateless ``map_batches`` kernels (one row in → k rows out for
+M8/M9 — flat_map shape).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pyarrow as pa
+
+from knowledge_graph_ray.functions.segment import count_tokens
+
+# M8: primary and fallback Q/A formats
+_QA_PRIMARY = re.compile(
+    r"Spørgsmål\s+(\d+):\s*(.*?)\s*Svar\s+\1:\s*(.*?)(?=Spørgsmål\s+\d+:|\Z)",
+    re.DOTALL,
+)
+_QA_FALLBACK = re.compile(
+    r"Q(\d+):\s*(.*?)\s*A\1:\s*(.*?)(?=Q\d+:|\Z)", re.DOTALL
+)
+_QA_PLAIN = re.compile(
+    r"Question:\s*(.*?)\s*Answer:\s*(.*?)(?=Question:|\Z)", re.DOTALL
+)
+
+_WS_EDGES = re.compile(r"^\s+|\s+$")
+_TITLE_PREFIX = re.compile(
+    r"^(?:svar på spm\.?|svar på spørgsmål|re:|fwd?:)\s*", re.IGNORECASE
+)
+_RELEVANCE = re.compile(r"Tekststykke \d+: (\d(?:\.\d+)?)")
+_MCQ_INDEX = re.compile(r"\b(?:option|valgmulighed|answer)\s*[:#]?\s*(\d+)", re.IGNORECASE)
+
+
+def extract_qa_pairs(text: str) -> list[tuple[str, str]]:
+    """M8: (question, answer) pairs; numbered Danish format first, two
+    fallback formats after."""
+    pairs = [(q.strip(), a.strip()) for _, q, a in _QA_PRIMARY.findall(text)]
+    if not pairs:
+        pairs = [(q.strip(), a.strip()) for _, q, a in _QA_FALLBACK.findall(text)]
+    if not pairs:
+        pairs = [(q.strip(), a.strip()) for q, a in _QA_PLAIN.findall(text)]
+    return [(q, a) for q, a in pairs if q and a]
+
+
+def qa_pairs_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    ids = batch.column("doc_id").to_pylist()
+    texts = batch.column(text_col).to_pylist()
+    o_id, o_q, o_a, o_idx = [], [], [], []
+    for did, text in zip(ids, texts):
+        for i, (q, a) in enumerate(extract_qa_pairs(text or "")):
+            o_id.append(did)
+            o_idx.append(i)
+            o_q.append(q)
+            o_a.append(a)
+    return pa.table(
+        {
+            "doc_id": pa.array(o_id, pa.int64()),
+            "pair_idx": pa.array(o_idx, pa.int32()),
+            "question": pa.array(o_q, pa.string()),
+            "answer": pa.array(o_a, pa.string()),
+        }
+    )
+
+
+def pack_chunks(
+    paragraphs: list[str], budget: int = 2500
+) -> tuple[list[list[str]], bool]:
+    """M9: pack paragraphs into <=budget-token chunks; if any single
+    paragraph exceeds the budget the document is quarantined
+    (reference bad-doc dict → here a boolean)."""
+    chunks: list[list[str]] = []
+    cur: list[str] = []
+    cur_tokens = 0
+    for p in paragraphs:
+        t = count_tokens(p)
+        if t > budget:
+            return [], True
+        if cur and cur_tokens + t > budget:
+            chunks.append(cur)
+            cur, cur_tokens = [], 0
+        cur.append(p)
+        cur_tokens += t
+    if cur:
+        chunks.append(cur)
+    return chunks, False
+
+
+def normalize_question(q: str) -> str:
+    """M10: strip leading/trailing whitespace runs."""
+    return _WS_EDGES.sub("", q)
+
+
+def strip_title_prefix(title: str) -> str:
+    """M11: remove reply-style prefixes from titles."""
+    return _TITLE_PREFIX.sub("", title).strip()
+
+
+def parse_relevance_scores(text: str) -> list[float]:
+    """M15: ``Tekststykke N: <score>`` floats from model output."""
+    return [float(s) for s in _RELEVANCE.findall(text)]
+
+
+def parse_mcq_indices(text: str) -> list[int]:
+    """M16: chosen option indices from model output."""
+    return [int(s) for s in _MCQ_INDEX.findall(text)]

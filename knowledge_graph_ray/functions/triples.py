@@ -218,6 +218,36 @@ def subjects_matching(
 
 # --------------------------------------------------------------- S11
 
+def write_turtle(triples: Dataset, out_dir: str, base: str = "http://kg.local/") -> int:
+    """S11 sink: stream the triple Dataset to partitioned .ttl shards
+    (one file per task — never one giant file; resumable layout).
+    Returns the number of lines written."""
+    import os
+
+    from knowledge_graph_ray.functions.hashing import stable_digest
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_shard(batch: pa.Table) -> pa.Table:
+        lines = to_turtle_batch(batch, base).column("line").to_pylist()
+        if not lines:
+            return pa.table({"path": pa.array([], pa.string()),
+                             "n_lines": pa.array([], pa.int64())})
+        body = "\n".join(lines) + "\n"
+        name = f"part-{stable_digest(body):016x}.ttl"
+        path = os.path.join(out_dir, name)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(body)
+        os.replace(tmp, path)
+        return pa.table(
+            {"path": pa.array([path]), "n_lines": pa.array([len(lines)], pa.int64())}
+        )
+
+    manifest = triples.map_batches(write_shard, batch_format="pyarrow").take_all()
+    return int(sum(r["n_lines"] for r in manifest))
+
+
 def to_turtle_batch(batch: pa.Table, base: str = "http://kg.local/") -> pa.Table:
     """Formatting map: triple rows → one turtle line per row."""
     subs = batch.column("subj").to_pylist()

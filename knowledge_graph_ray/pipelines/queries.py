@@ -538,6 +538,167 @@ def q_mention_canonicalization(sf_dir: str) -> Dataset:
     return canonical_surface_map(stats)
 
 
+# --- F: sampling / global stats / new operator families ------------------
+
+def q_docs_sample_md5(sf_dir: str) -> Dataset:
+    """K3 deterministic sampling: keep rows whose md5(id) hex is below
+    a threshold prefix (≈10%) — seed-free, engine/SQL-portable."""
+    import hashlib
+
+    ds = _read(sf_dir, "documents").select_columns(["doc_id", "lang"])
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        mask = [
+            hashlib.md5(str(i).encode()).hexdigest() < "1a" for i in ids
+        ]
+        return batch.filter(pa.array(mask, pa.bool_()))
+
+    return ds.map_batches(keep, batch_format="pyarrow", batch_size=None)
+
+
+SQL_DOCS_SAMPLE_MD5 = """
+SELECT doc_id, lang FROM documents
+WHERE md5(CAST(doc_id AS VARCHAR)) < '1a'
+"""
+
+
+def q_events_value_stats(sf_dir: str) -> Dataset:
+    """A4 global stats: count / min / max (raw doubles, no arithmetic)
+    + integerized mean."""
+    events = _read(sf_dir, "events").select_columns(["value"])
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "n_events": [len(df)],
+                "sum_value": [df["value"].sum()],
+                "min_value": [df["value"].min()],
+                "max_value": [df["value"].max()],
+            }
+        )
+
+    partials = events.map_batches(combine, batch_format="pandas", batch_size=None)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "n_events": [int(df["n_events"].sum())],
+                "sum_value": [df["sum_value"].sum()],
+                "min_value": [df["min_value"].min()],
+                "max_value": [df["max_value"].max()],
+            }
+        )
+
+    merged = partials.repartition(1).map_batches(
+        merge, batch_format="pandas", batch_size=None
+    )
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        df["avg_value_milli"] = (
+            (df["sum_value"] / df["n_events"]) * 1000
+        ).round(0).astype("int64")
+        return df.drop(columns=["sum_value"])
+
+    return merged.map_batches(finalize, batch_format="pandas", batch_size=None)
+
+
+SQL_EVENTS_VALUE_STATS = """
+SELECT COUNT(*) AS n_events, MIN(value) AS min_value, MAX(value) AS max_value,
+       CAST(ROUND(AVG(value) * 1000, 0) AS BIGINT) AS avg_value_milli
+FROM events
+"""
+
+
+def q_search_ranked_contexts(sf_dir: str) -> pa.Table:
+    """§3.3 serving pipeline as a batch job (rows-only)."""
+    from knowledge_graph_ray.pipelines.corpus import build_corpus
+    from knowledge_graph_ray.pipelines.search import search
+    from knowledge_graph_ray.sources import synth
+
+    pages = synth.pages_dataset(min(pages_count_for(sf_dir), 200))
+    paras = build_corpus(
+        pages, near_dup=False, normalize=False, concurrency=(1, 2), batch_size=256
+    )
+    queries = [
+        (1, "who leads Orga 0"),
+        (2, "Pera1 Sonsen1 works for which organisation"),
+        (3, "where is Orga 2 located"),
+    ]
+    return search(queries, paras, k_ann=20, k_rerank=10, k_final=8)
+
+
+def q_qa_pairs_extract(sf_dir: str) -> Dataset:
+    """M8 Q/A extraction over a deterministic QA-formatted fixture."""
+    from knowledge_graph_ray.functions.qa import qa_pairs_batch
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array(range(50), pa.int64()),
+            "text": pa.array(
+                [
+                    f"Spørgsmål 1: Hvad er sag {i}? Svar 1: Det er sag {i}. "
+                    f"Spørgsmål 2: Hvem leder Orga {i % 7}? Svar 2: Pera{i % 5} Sonsen{i % 5}."
+                    for i in range(50)
+                ]
+            ),
+        }
+    )
+    return rd.from_arrow(docs).map_batches(qa_pairs_batch, batch_format="pyarrow")
+
+
+def q_alias_map_assembly(sf_dir: str) -> pa.Table:
+    """G5 alias-map assembly over the synthetic entity table."""
+    from knowledge_graph_ray.functions.canon import assemble_alias_map
+    from knowledge_graph_ray.sources import synth
+
+    return assemble_alias_map(synth.entities_table())
+
+
+def q_corpus_paragraphs(sf_dir: str) -> Dataset:
+    """§3.1 corpus build (extract → segment → dedup → near-dup → embed)."""
+    from knowledge_graph_ray.pipelines.corpus import build_corpus
+    from knowledge_graph_ray.sources import synth
+
+    pages = synth.pages_dataset(min(pages_count_for(sf_dir), 300))
+    out = build_corpus(pages, normalize=False, concurrency=(1, 2), batch_size=256)
+    return out.drop_columns(["embedding"])
+
+
+def q_udf_rephrase(sf_dir: str) -> Dataset:
+    """§2.9 LLM-shaped stage: retrying quarantining UDF actor pool."""
+    from knowledge_graph_ray.stages.udf import RetryingUDFActor
+
+    ds = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    return ds.map_batches(
+        RetryingUDFActor,
+        fn_constructor_kwargs={"out_col": "rephrased"},
+        concurrency=(1, 2),
+        batch_format="pyarrow",
+    )
+
+
+def q_media_features(sf_dir: str) -> Dataset:
+    """Multimodal actor stages over the synthetic media table."""
+    from knowledge_graph_ray.stages import multimodal as mm
+
+    ds = rd.from_arrow(mm.synth_media_table(48))
+    feats, _ = mm.media_pipeline(ds, concurrency=(1, 2), batch_size=8)
+    return feats.drop_columns(["payload", "embedding"])
+
+
+def q_semantic_paragraphs(sf_dir: str) -> Dataset:
+    """M5 embedding-minima segmentation (actor pool)."""
+    from knowledge_graph_ray.stages.segment_semantic import SemanticSegmentActor
+    from knowledge_graph_ray.sources import synth
+
+    pages = synth.pages_dataset(min(pages_count_for(sf_dir), 200))
+    docs = pages.drop_columns(["html", "warc_ts", "lang"])
+    return docs.map_batches(
+        SemanticSegmentActor, concurrency=(1, 2), batch_format="pyarrow"
+    )
+
+
 QUERIES = {
     "agg_pricing_summary": q_agg_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
@@ -563,6 +724,15 @@ QUERIES = {
     "docs_fingerprint": q_docs_fingerprint,
     "knn_lsh": q_knn_lsh,
     "mention_canonicalization": q_mention_canonicalization,
+    "docs_sample_md5": q_docs_sample_md5,
+    "events_value_stats": q_events_value_stats,
+    "search_ranked_contexts": q_search_ranked_contexts,
+    "qa_pairs_extract": q_qa_pairs_extract,
+    "alias_map_assembly": q_alias_map_assembly,
+    "corpus_paragraphs": q_corpus_paragraphs,
+    "udf_rephrase": q_udf_rephrase,
+    "media_features": q_media_features,
+    "semantic_paragraphs": q_semantic_paragraphs,
 }
 
 ORACLE_SQL = {
@@ -580,4 +750,6 @@ ORACLE_SQL = {
     "docs_quality": SQL_DOCS_QUALITY,
     "docs_lang_counts": SQL_DOCS_LANG_COUNTS,
     "knn_bruteforce": SQL_KNN_BRUTEFORCE,
+    "docs_sample_md5": SQL_DOCS_SAMPLE_MD5,
+    "events_value_stats": SQL_EVENTS_VALUE_STATS,
 }

@@ -1,0 +1,183 @@
+"""Batch search/serving pipeline (SURVEY.md §3.3):
+
+question → embed → ANN top-k over paragraph embeddings (K1/T7)
+        → cross-encoder rerank, top-10 per query (T6/K2)
+        → context-window expansion around each hit (K5)
+        → first-seen dedup, top-8 (D3)
+
+Ray shape: the corpus side streams (ANN scan is ``knn_topk``'s
+per-batch partial top-k); everything AFTER candidate generation
+operates on the small candidate set (≤ queries × k rows — the
+reference's interactive path run as a batch job over a query
+Dataset). The one-question interactive path is this pipeline over a
+1-row query list.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ray.data import Dataset
+
+from knowledge_graph_ray.functions.segment import count_tokens
+from knowledge_graph_ray.pipelines.corpus import add_para_key
+from knowledge_graph_ray.stages.embed import HashEmbedder
+from knowledge_graph_ray.stages.knn import knn_topk
+from knowledge_graph_ray.stages.rerank import RerankActor
+
+
+def _window(
+    doc_paras: pd.DataFrame, hit_idx: int, budget: int = 120
+) -> str:
+    """K5: expand around the hit paragraph by token budget, 30% before
+    / 70% after (reranker_function.py:26-79 semantics)."""
+    doc_paras = doc_paras.sort_values("para_idx").reset_index(drop=True)
+    pos = int(doc_paras.index[doc_paras["para_idx"] == hit_idx][0])
+    before_budget = int(budget * 0.3)
+    after_budget = budget - before_budget
+    out = [doc_paras.loc[pos, "text"]]
+    used_b = 0
+    i = pos - 1
+    while i >= 0:
+        t = count_tokens(doc_paras.loc[i, "text"])
+        if used_b + t > before_budget:
+            break
+        out.insert(0, doc_paras.loc[i, "text"])
+        used_b += t
+        i -= 1
+    used_a = 0
+    i = pos + 1
+    while i < len(doc_paras):
+        t = count_tokens(doc_paras.loc[i, "text"])
+        if used_a + t > after_budget:
+            break
+        out.append(doc_paras.loc[i, "text"])
+        used_a += t
+        i += 1
+    return " ".join(out)
+
+
+def search(
+    queries: list[tuple[int, str]],
+    paragraphs: Dataset,
+    *,
+    k_ann: int = 100,
+    k_rerank: int = 10,
+    k_final: int = 8,
+    context_tokens: int = 120,
+    dim: int = 64,
+    concurrency: int | tuple = (1, 2),
+) -> pa.Table:
+    """queries [(query_id, text)] × paragraph Dataset (doc_id,
+    para_idx, text, embedding) → ranked context table
+    (query_id, rank, doc_id, para_idx, rerank_score, context)."""
+    embedder = HashEmbedder(dim)
+    qids = [q for q, _ in queries]
+    qtexts = {q: t for q, t in queries}
+    qvecs = embedder.encode([t for _, t in queries])
+
+    paras = paragraphs.map_batches(add_para_key, batch_format="pyarrow")
+    # K1/T7: streaming ANN — corpus never collected
+    cands = knn_topk(
+        paras, qids, qvecs, k=k_ann, vec_col="embedding", id_col="para_key",
+        exclude_self=False,
+    ).take_all()
+    cand_keys = {r["neighbor_id"] for r in cands}
+
+    # fetch candidate rows + their docs' paragraphs (small side)
+    import ray
+
+    keys_ref = ray.put(frozenset(cand_keys))
+
+    def keep_cands(batch: pa.Table) -> pa.Table:
+        s = ray.get(keys_ref)
+        mask = [k in s for k in batch.column("para_key").to_pylist()]
+        return batch.filter(pa.array(mask, pa.bool_()))
+
+    cand_rows = paras.map_batches(keep_cands, batch_format="pyarrow").take_all()
+    by_key = {r["para_key"]: r for r in cand_rows}
+    hit_docs = {r["doc_id"] for r in cand_rows}
+    docs_ref = ray.put(frozenset(hit_docs))
+
+    def keep_docs(batch: pa.Table) -> pa.Table:
+        s = ray.get(docs_ref)
+        mask = [d in s for d in batch.column("doc_id").to_pylist()]
+        return batch.filter(pa.array(mask, pa.bool_()))
+
+    doc_paras = pd.DataFrame(
+        [
+            {k: r[k] for k in ("doc_id", "para_idx", "text")}
+            for r in paras.map_batches(keep_docs, batch_format="pyarrow").take_all()
+        ]
+    )
+
+    # T6: rerank candidates (small Dataset → actor pool)
+    pairs = pa.table(
+        {
+            "query_id": pa.array([r["query_id"] for r in cands], pa.int64()),
+            "para_key": pa.array([r["neighbor_id"] for r in cands], pa.int64()),
+            "query": pa.array(
+                [qtexts[r["query_id"]] for r in cands], pa.string()
+            ),
+            "text": pa.array(
+                [by_key[r["neighbor_id"]]["text"] for r in cands], pa.string()
+            ),
+        }
+    )
+    import ray.data as rd
+
+    scored = (
+        rd.from_arrow(pairs)
+        .map_batches(
+            RerankActor,
+            fn_constructor_kwargs={"dim": dim},
+            concurrency=concurrency,
+            batch_format="pyarrow",
+        )
+        .take_all()
+    )
+
+    # K2 + D3: per-query sort desc → dedup by text → top-k, then K5
+    out_rows = []
+    df = pd.DataFrame(scored)
+    for qid, g in df.groupby("query_id"):
+        g = g.sort_values(
+            ["rerank_score", "para_key"], ascending=[False, True]
+        ).head(k_rerank)
+        seen: set[str] = set()
+        rank = 0
+        for _, row in g.iterrows():
+            hit = by_key[row["para_key"]]
+            if hit["text"] in seen:  # D3 first-seen wins
+                continue
+            seen.add(hit["text"])
+            rank += 1
+            if rank > k_final:
+                break
+            ctx = _window(
+                doc_paras[doc_paras["doc_id"] == hit["doc_id"]],
+                hit["para_idx"],
+                budget=context_tokens,
+            )
+            out_rows.append(
+                {
+                    "query_id": int(qid),
+                    "rank": rank,
+                    "doc_id": hit["doc_id"],
+                    "para_idx": hit["para_idx"],
+                    "rerank_score": float(row["rerank_score"]),
+                    "context": ctx,
+                }
+            )
+    return pa.Table.from_pylist(out_rows) if out_rows else pa.table(
+        {
+            "query_id": pa.array([], pa.int64()),
+            "rank": pa.array([], pa.int64()),
+            "doc_id": pa.array([], pa.int64()),
+            "para_idx": pa.array([], pa.int32()),
+            "rerank_score": pa.array([], pa.float64()),
+            "context": pa.array([], pa.string()),
+        }
+    )

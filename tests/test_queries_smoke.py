@@ -17,10 +17,19 @@ ROWS_ONLY = [
     "docs_fingerprint",
     "knn_lsh",
     "mention_canonicalization",
+    "search_ranked_contexts",
+    "qa_pairs_extract",
+    "alias_map_assembly",
+    "corpus_paragraphs",
+    "udf_rephrase",
+    "media_features",
+    "semantic_paragraphs",
 ]
 
 MUST_HAVE_ROWS = {"kg_flagship", "docs_langid", "docs_fingerprint", "knn_lsh",
-                  "mention_canonicalization"}
+                  "mention_canonicalization", "search_ranked_contexts",
+                  "qa_pairs_extract", "alias_map_assembly", "corpus_paragraphs",
+                  "udf_rephrase", "media_features", "semantic_paragraphs"}
 
 
 @pytest.mark.parametrize("name", ROWS_ONLY)
@@ -28,8 +37,10 @@ def test_rows_only_query_runs(name, ray_session):
     from knowledge_graph_ray.pipelines.queries import ORACLE_SQL, QUERIES
 
     assert name not in ORACLE_SQL
-    ds = QUERIES[name](SF_DIR)
-    rows = ds.take_all()
+    res = QUERIES[name](SF_DIR)
+    import pyarrow as _pa
+
+    rows = res.to_pylist() if isinstance(res, _pa.Table) else res.take_all()
     if name in MUST_HAVE_ROWS:
         assert len(rows) > 0
     if rows:
