@@ -133,3 +133,20 @@ def test_hash_join_large_large(ray_session):
     out = R.hash_join(left, right, on="k", num_partitions=4).take_all()
     assert len(out) == 50
     assert all(r["k"] % 2 == 0 for r in out)
+
+
+def test_stage_builder_chain(ray_session):
+    from knowledge_graph_ray.pipelines.builder import Stage, chain
+    from knowledge_graph_ray.functions.extract import extract_batch
+    from knowledge_graph_ray.functions.segment import paragraphs_batch
+    from knowledge_graph_ray.sources import synth
+
+    pages = rd.from_arrow(synth.pages_table(8)).drop_columns(["text"])
+    ds = chain(
+        pages,
+        [
+            Stage("extract", fn=extract_batch),
+            Stage("segment", fn=paragraphs_batch),
+        ],
+    )
+    assert ds.count() > 8
