@@ -149,8 +149,6 @@ def surface_stats(mentions_ds, n_salts: int = DEFAULT_SALTS):
     """
     import pandas as pd
 
-    from ray.data.aggregate import Sum
-
     keyed = mentions_ds.map_batches(
         lambda b: add_surface_keys(b, n_salts=n_salts), batch_format="pyarrow"
     )

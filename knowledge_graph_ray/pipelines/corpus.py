@@ -20,7 +20,7 @@ import pyarrow as pa
 from ray.data import Dataset
 
 from knowledge_graph_ray.functions import dedup
-from knowledge_graph_ray.functions.hashing import combine_hashes, hash64_array
+from knowledge_graph_ray.functions.hashing import combine_hashes
 from knowledge_graph_ray.functions.segment import count_tokens, normalize_lengths
 from knowledge_graph_ray.pipelines.kg import extract_and_segment
 from knowledge_graph_ray.pipelines.relational import hash_bucket_agg
@@ -30,8 +30,6 @@ from knowledge_graph_ray.stages.embed import EmbedActor
 def add_para_key(batch: pa.Table) -> pa.Table:
     """Stable int64 paragraph key from (doc_id, para_idx) — the
     reference's '{file}_{idx}' composite key as a typed column."""
-    import numpy as np
-
     doc = batch.column("doc_id").to_numpy(zero_copy_only=False).astype("uint64")
     idx = batch.column("para_idx").to_numpy(zero_copy_only=False).astype("uint64")
     key = combine_hashes(doc, idx).view("int64")

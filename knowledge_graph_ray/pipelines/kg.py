@@ -34,14 +34,11 @@ import pyarrow as pa
 import ray
 import ray.data as rd
 from ray.data import Dataset
-from ray.data.aggregate import Count, Min
 
 from knowledge_graph_ray.functions.canon import canonical_surface_map, surface_stats
 from knowledge_graph_ray.functions.extract import extract_batch
 from knowledge_graph_ray.functions.segment import paragraphs_batch
-from knowledge_graph_ray.stages.link import EntityLinker
 from knowledge_graph_ray.stages.ner import GazetteerNER
-from knowledge_graph_ray.stages.openie import PatternOpenIE
 
 LABEL_OF_TYPE = {"person": "PER", "institution": "ORG"}
 
@@ -140,8 +137,6 @@ def dedup_triples(linked: Dataset) -> Dataset:
     with provenance (min doc_id) and support count. A per-block
     combiner shrinks the shuffle input before the all-to-all."""
     import pandas as pd
-
-    from ray.data.aggregate import Sum
 
     def combine(df: pd.DataFrame) -> pd.DataFrame:
         return df.groupby(["subj", "pred", "obj"], as_index=False, sort=False).agg(

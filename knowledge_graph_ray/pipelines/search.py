@@ -15,7 +15,6 @@ Dataset). The one-question interactive path is this pipeline over a
 
 from __future__ import annotations
 
-import numpy as np
 import pandas as pd
 import pyarrow as pa
 

@@ -23,8 +23,6 @@ import re
 
 import pyarrow as pa
 
-import ray
-
 from knowledge_graph_ray.stages.ner import _maybe_get
 
 # predicate lexicon: verb phrase -> canonical predicate name
