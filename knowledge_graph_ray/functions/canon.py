@@ -106,7 +106,15 @@ def token_set_ratio(a: str, b: str) -> int:
             return 100
         import difflib
 
-        return round(100 * difflib.SequenceMatcher(None, x, y).ratio())
+        # SequenceMatcher.ratio() is order-sensitive; max over both
+        # directions keeps token_set_ratio symmetric (property-tested)
+        return round(
+            100
+            * max(
+                difflib.SequenceMatcher(None, x, y).ratio(),
+                difflib.SequenceMatcher(None, y, x).ratio(),
+            )
+        )
 
     return max(ratio(inter, sa), ratio(inter, sb), ratio(sa, sb))
 

@@ -515,6 +515,11 @@ def q_knn_lsh(sf_dir: str) -> Dataset:
     return knn.knn_lsh(_read(sf_dir, "embeddings"), ids, vecs, k=5)
 
 
+def q_knn_ivf(sf_dir: str) -> Dataset:
+    ids, vecs = _query_vectors(sf_dir)
+    return knn.knn_ivf(_read(sf_dir, "embeddings"), ids, vecs, k=5)
+
+
 def q_mention_canonicalization(sf_dir: str) -> Dataset:
     """Salted canonicalization over synthetic page mentions (north-rule
     op as a standalone query; deterministic, rows-only check)."""
@@ -722,6 +727,7 @@ QUERIES = {
     "docs_langid": q_docs_langid,
     "docs_fingerprint": q_docs_fingerprint,
     "knn_lsh": q_knn_lsh,
+    "knn_ivf": q_knn_ivf,
     "mention_canonicalization": q_mention_canonicalization,
     "docs_sample_md5": q_docs_sample_md5,
     "events_value_stats": q_events_value_stats,

@@ -92,6 +92,115 @@ def knn_topk(
     )
 
 
+class IvfIndex:
+    """Deterministic IVF (FAISS IndexIVFFlat analog,
+    create_faiss_index.py:43-49): k-means centroids trained with fixed
+    seed + bounded Lloyd iterations; vectors assigned to their nearest
+    centroid's inverted list; queries probe the ``nprobe`` nearest
+    lists only."""
+
+    def __init__(
+        self,
+        train_vecs: np.ndarray,
+        nlist: int = 16,
+        iters: int = 10,
+        seed: int = 42,
+    ):
+        x = _unit_rows(train_vecs)
+        rng = np.random.default_rng(seed)
+        nlist = min(nlist, len(x))
+        idx = rng.choice(len(x), size=nlist, replace=False)
+        centroids = x[np.sort(idx)].copy()
+        for _ in range(iters):
+            assign = np.argmax(x @ centroids.T, axis=1)
+            for c in range(nlist):
+                members = x[assign == c]
+                if len(members):
+                    v = members.mean(axis=0)
+                    n = np.linalg.norm(v)
+                    if n > 0:
+                        centroids[c] = v / n
+        self.centroids = centroids
+        self.nlist = nlist
+
+    def assign(self, vecs: np.ndarray) -> np.ndarray:
+        return np.argmax(_unit_rows(vecs) @ self.centroids.T, axis=1)
+
+    def probe_lists(self, query_vecs: np.ndarray, nprobe: int) -> np.ndarray:
+        scores = _unit_rows(query_vecs) @ self.centroids.T
+        return np.argsort(-scores, axis=1)[:, :nprobe]
+
+
+def knn_ivf(
+    ds: Dataset,
+    query_ids: list[int],
+    query_vecs: np.ndarray,
+    *,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    nlist: int = 16,
+    nprobe: int = 4,
+    train_sample: int = 2048,
+    seed: int = 42,
+    exclude_self: bool = True,
+) -> Dataset:
+    """IVF-pruned cosine top-k (approximate): centroids are trained on
+    a bounded sample (one driver-side pass over ``limit(train_sample)``
+    — the index is derived state, broadcast once); each corpus batch
+    scores only rows whose assigned list is probed by some query."""
+    sample = np.asarray(
+        [r[vec_col] for r in ds.limit(train_sample).take_all()], dtype=np.float64
+    )
+    index = IvfIndex(sample, nlist=nlist, seed=seed)
+    q_unit = _unit_rows(query_vecs)
+    probed = index.probe_lists(q_unit, nprobe)
+    probe_set = frozenset(int(c) for row in probed for c in row)
+    refs = ray.put((list(query_ids), q_unit, index.centroids, probe_set))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        qids, qm, centroids, probes = ray.get(refs)
+        ids = np.asarray(batch.column(id_col).to_pylist(), dtype=np.int64)
+        vecs = _unit_rows(np.asarray(batch.column(vec_col).to_pylist()))
+        assign = np.argmax(vecs @ centroids.T, axis=1)
+        keep = np.array([int(a) in probes for a in assign])
+        empty = pa.table(
+            {
+                "query_id": pa.array([], pa.int64()),
+                "neighbor_id": pa.array([], pa.int64()),
+                "score": pa.array([], pa.float64()),
+            }
+        )
+        if not keep.any():
+            return empty
+        ids, vecs = ids[keep], vecs[keep]
+        scores = np.round(vecs @ qm.T, ROUND_DECIMALS)
+        o_q, o_n, o_s = [], [], []
+        for qi, qid in enumerate(qids):
+            col = scores[:, qi]
+            mask = ids != qid if exclude_self else np.ones(len(ids), bool)
+            idx = np.nonzero(mask)[0]
+            if len(idx) == 0:
+                continue
+            order = np.lexsort((ids[idx], -col[idx]))[:k]
+            for j in idx[order]:
+                o_q.append(qid)
+                o_n.append(int(ids[j]))
+                o_s.append(float(col[j]))
+        return pa.table(
+            {
+                "query_id": pa.array(o_q, pa.int64()),
+                "neighbor_id": pa.array(o_n, pa.int64()),
+                "score": pa.array(o_s, pa.float64()),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return partials.groupby("query_id").map_groups(
+        lambda df: _merge_topk(df, k), batch_format="pandas"
+    )
+
+
 def knn_lsh(
     ds: Dataset,
     query_ids: list[int],

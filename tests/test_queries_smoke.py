@@ -16,6 +16,7 @@ ROWS_ONLY = [
     "docs_langid",
     "docs_fingerprint",
     "knn_lsh",
+    "knn_ivf",
     "mention_canonicalization",
     "search_ranked_contexts",
     "qa_pairs_extract",
@@ -26,7 +27,7 @@ ROWS_ONLY = [
     "semantic_paragraphs",
 ]
 
-MUST_HAVE_ROWS = {"kg_flagship", "docs_langid", "docs_fingerprint", "knn_lsh",
+MUST_HAVE_ROWS = {"kg_flagship", "docs_langid", "docs_fingerprint", "knn_lsh", "knn_ivf",
                   "mention_canonicalization", "search_ranked_contexts",
                   "qa_pairs_extract", "alias_map_assembly", "corpus_paragraphs",
                   "udf_rephrase", "media_features", "semantic_paragraphs"}
