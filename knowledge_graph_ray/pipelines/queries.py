@@ -614,6 +614,35 @@ FROM events
 """
 
 
+def q_events_sessions(sf_dir: str) -> Dataset:
+    """Gap-based sessionization (windowed aggregate; 30-min gap)."""
+    from knowledge_graph_ray.functions.sessions import sessionize
+
+    return sessionize(_read(sf_dir, "events"), gap_minutes=30)
+
+
+SQL_EVENTS_SESSIONS = """
+WITH ordered AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+),
+marked AS (
+  SELECT *, SUM(is_new) OVER (
+      PARTITION BY user_id ORDER BY ts
+      ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM ordered
+)
+SELECT user_id, session_idx, COUNT(*) AS n_events,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+       CAST(ROUND(SUM(value) * 1000, 0) AS BIGINT) AS total_value_milli
+FROM marked GROUP BY user_id, session_idx
+"""
+
+
 def q_search_ranked_contexts(sf_dir: str) -> pa.Table:
     """§3.3 serving pipeline as a batch job (rows-only)."""
     from knowledge_graph_ray.pipelines.corpus import build_corpus
@@ -731,6 +760,7 @@ QUERIES = {
     "mention_canonicalization": q_mention_canonicalization,
     "docs_sample_md5": q_docs_sample_md5,
     "events_value_stats": q_events_value_stats,
+    "events_sessions": q_events_sessions,
     "search_ranked_contexts": q_search_ranked_contexts,
     "qa_pairs_extract": q_qa_pairs_extract,
     "alias_map_assembly": q_alias_map_assembly,
@@ -757,4 +787,5 @@ ORACLE_SQL = {
     "knn_bruteforce": SQL_KNN_BRUTEFORCE,
     "docs_sample_md5": SQL_DOCS_SAMPLE_MD5,
     "events_value_stats": SQL_EVENTS_VALUE_STATS,
+    "events_sessions": SQL_EVENTS_SESSIONS,
 }
