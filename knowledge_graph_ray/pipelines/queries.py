@@ -503,6 +503,43 @@ def q_docs_langid(sf_dir: str) -> Dataset:
     )
 
 
+def _langid_oracle_sql() -> str:
+    """SQL twin of textstats.detect_language, generated from the SAME
+    marker lexicon (cannot drift): marker-token counts per language,
+    winner = max count, ties broken alphabetically, none → 'und'."""
+    from knowledge_graph_ray.functions.textstats import LANG_MARKERS
+
+    langs = sorted(LANG_MARKERS)  # alphabetical = python tie-break order
+    counts = []
+    for lang in langs:
+        lst = ", ".join(f"'{w}'" for w in sorted(LANG_MARKERS[lang]))
+        counts.append(
+            f"len(list_filter(toks, x -> list_contains([{lst}], x))) AS c_{lang}"
+        )
+    greatest = "greatest(" + ", ".join(f"c_{l}" for l in langs) + ")"
+    case = []
+    for i, lang in enumerate(langs):
+        conds = " AND ".join(
+            f"c_{lang} >= c_{other}" for other in langs[i + 1 :]
+        )
+        case.append(f"WHEN {conds or 'TRUE'} THEN '{lang}'")
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\W+'), x -> x <> '')
+             AS toks
+  FROM documents
+), s AS (
+  SELECT doc_id, {", ".join(counts)} FROM t
+)
+SELECT doc_id,
+       CASE WHEN {greatest} = 0 THEN 'und'
+            ELSE (CASE {" ".join(case)} END)
+       END AS lang_pred
+FROM s
+"""
+
+
 def q_docs_fingerprint(sf_dir: str) -> Dataset:
     ds = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
     return ds.map_batches(textstats.fingerprint_batch, batch_format="pyarrow", batch_size=None).select_columns(
@@ -788,4 +825,5 @@ ORACLE_SQL = {
     "docs_sample_md5": SQL_DOCS_SAMPLE_MD5,
     "events_value_stats": SQL_EVENTS_VALUE_STATS,
     "events_sessions": SQL_EVENTS_SESSIONS,
+    "docs_langid": _langid_oracle_sql(),
 }

@@ -13,7 +13,6 @@ ROWS_ONLY = [
     "docs_simhash_pairs",
     "docs_ngram_jaccard_pairs",
     "embedding_dup_pairs",
-    "docs_langid",
     "docs_fingerprint",
     "knn_lsh",
     "knn_ivf",
@@ -27,7 +26,7 @@ ROWS_ONLY = [
     "semantic_paragraphs",
 ]
 
-MUST_HAVE_ROWS = {"kg_flagship", "docs_langid", "docs_fingerprint", "knn_lsh", "knn_ivf",
+MUST_HAVE_ROWS = {"kg_flagship", "docs_fingerprint", "knn_lsh", "knn_ivf",
                   "mention_canonicalization", "search_ranked_contexts",
                   "qa_pairs_extract", "alias_map_assembly", "corpus_paragraphs",
                   "udf_rephrase", "media_features", "semantic_paragraphs"}
