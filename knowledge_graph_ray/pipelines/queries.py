@@ -370,6 +370,45 @@ WHERE CAST(o_orderdate AS VARCHAR) BETWEEN '1995-01-01' AND '1995-12-32'
 
 # --- C: documents (dedup + text analysis) --------------------------------
 
+def q_graph_2hop(sf_dir: str) -> Dataset:
+    """G3 two-hop traversal ENTIRELY over triple tables: customer
+    nodes matching (pred=c_mktsegment, obj=BUILDING) → hasOrder edges
+    → distinct order URIs. SPARQL chain as filter + semi-join chain."""
+    cust_triples = q_customer_node_triples(sf_dir)
+    seeds = {
+        r["subj"]
+        for r in T.filter_pred_obj(
+            cust_triples, pred="c_mktsegment", obj_in=["BUILDING"]
+        )
+        .select_columns(["subj"])
+        .take_all()
+    }
+    edges = q_order_edge_triples(sf_dir).filter(expr="pred == 'hasOrder'")
+    hits = R.semi_filter(edges, seeds, col="subj").select_columns(["obj"])
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table({"order_uri": batch.column("obj")})
+
+    slim = hits.map_batches(rename, batch_format="pyarrow", batch_size=None)
+    # tree distinct (order URIs are unique per edge here, but keep the
+    # operator shape honest)
+    out = slim.map_batches(
+        lambda df: df.drop_duplicates(), batch_format="pandas", batch_size=None
+    )
+    for pnum in (4, 1):
+        out = out.repartition(pnum).map_batches(
+            lambda df: df.drop_duplicates(), batch_format="pandas", batch_size=None
+        )
+    return out
+
+
+SQL_GRAPH_2HOP = """
+SELECT DISTINCT 'order:' || o_orderkey AS order_uri
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+"""
+
+
 def q_docs_exact_dedup(sf_dir: str) -> Dataset:
     return dedup.exact_dedup(_read(sf_dir, "documents"))
 
@@ -779,6 +818,7 @@ QUERIES = {
     "customer_node_triples": q_customer_node_triples,
     "order_edge_triples": q_order_edge_triples,
     "subjects_1995_filled": q_subjects_1995_filled,
+    "graph_2hop": q_graph_2hop,
     "docs_exact_dedup": q_docs_exact_dedup,
     "docs_token_counts": q_docs_token_counts,
     "docs_quality": q_docs_quality,
@@ -817,6 +857,7 @@ ORACLE_SQL = {
     "customer_node_triples": SQL_CUSTOMER_NODE_TRIPLES,
     "order_edge_triples": SQL_ORDER_EDGE_TRIPLES,
     "subjects_1995_filled": SQL_SUBJECTS_1995_FILLED,
+    "graph_2hop": SQL_GRAPH_2HOP,
     "docs_exact_dedup": SQL_DOCS_EXACT_DEDUP,
     "docs_token_counts": SQL_DOCS_TOKEN_COUNTS,
     "docs_quality": SQL_DOCS_QUALITY,
