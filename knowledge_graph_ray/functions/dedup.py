@@ -6,23 +6,34 @@ builds a driver-RAM Annoy index over the whole corpus,
 remove_duplicate_paragraphs.py:104-132; re-architected here as
 banded/bucketed shuffles, SURVEY.md D2):
 
-- exact_dedup        groupby(text) → first-seen (min id) wins   [D1]
+- exact_dedup        int hash-bucket shuffle → in-bucket exact-text
+                     first-seen (min id) wins                     [D1]
 - minhash_lsh        shingle → minhash sig → band buckets →
                      within-bucket candidate pairs (est. Jaccard)
 - simhash            64-bit simhash → bit-band buckets →
                      within-bucket Hamming check
 - ngram_jaccard      exact Jaccard verify on candidate pairs
                      (within minhash buckets)
-- embedding_cosine   random-hyperplane buckets over an embedding
-                     column → within-bucket cosine pairs
+- embedding_cosine   hyperplane-sign BAND buckets over an embedding
+                     column → within-bucket cosine pairs. Shuffle
+                     amplification = ``bands`` (each row emitted once
+                     per band; default 2).
+
+Content hashes (shingles, tokens, fingerprints) use the md5 family
+(``hashing.md5_hash64_array``) so every score is twinnable in DuckDB
+via ``md5_number_lower``; shuffle-only keys stay on vectorized
+SipHash. Minhash signatures are computed for a whole batch in one
+numpy reduction (no per-row Python loop in the hot path).
 
 Each pair-producer emits (a, b, score) with a < b; ``drops_from_pairs``
-turns pairs into a deterministic survivor rule: a row is dropped iff
-it pairs with a smaller id (per-pair rule, not transitive closure —
-documented divergence kept deliberately cheap at scale).
+turns pairs into a deterministic survivor rule — per-pair (drop the
+larger id; cheap, no transitive closure) or ``strategy='components'``
+(union-find over the pair set; keep the min id per connected
+component — the reference's transitive-evidence semantics,
+remove_duplicate_paragraphs.py:123-128).
 
 Skew control: bucket groups are processed via ``map_groups`` with a
-hard ``group_cap`` — a pathological bucket (boilerplate) degrades to
+``group_cap`` — a pathological bucket (boilerplate) degrades to
 comparing against the cap-first members only, bounding O(n²) work.
 """
 
@@ -33,16 +44,22 @@ import re
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ray.data import Dataset
-from ray.data.aggregate import Count, Min
+from ray.data.aggregate import Count, Max, Min
 
-from knowledge_graph_ray.functions.hashing import hash64_array, stable_digest
+from knowledge_graph_ray.functions.hashing import (
+    combine_hashes,
+    md5_hash64_array,
+)
 
 _TOKEN_RE = re.compile(r"\w+")
 
 MERSENNE = np.uint64((1 << 61) - 1)
 DEFAULT_GROUP_CAP = 256
+# chunk the (n_hashes × n_shingles) permutation matrix to bound memory
+_SIG_CHUNK_SHINGLES = 250_000
 
 
 def _tokens(text: str) -> list[str]:
@@ -50,7 +67,7 @@ def _tokens(text: str) -> list[str]:
 
 
 def shingle_hashes(text: str, k: int = 3) -> np.ndarray:
-    """Token k-shingles → uint64 hashes (sorted, unique)."""
+    """Token k-shingles → uint64 md5 hashes (sorted, unique)."""
     toks = _tokens(text)
     if len(toks) < k:
         shingles = [" ".join(toks)] if toks else []
@@ -58,7 +75,7 @@ def shingle_hashes(text: str, k: int = 3) -> np.ndarray:
         shingles = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
     if not shingles:
         return np.array([], dtype=np.uint64)
-    return np.unique(hash64_array(shingles))
+    return np.unique(md5_hash64_array(shingles))
 
 
 def _collision_only(banded: "Dataset", key: str, max_broadcast: int = 2_000_000):
@@ -74,13 +91,13 @@ def _collision_only(banded: "Dataset", key: str, max_broadcast: int = 2_000_000)
     hot_rows = counts.filter(expr="_n >= 2").select_columns([key]).take_all()
     if len(hot_rows) > max_broadcast:
         return banded
-    hot = frozenset(r[key] for r in hot_rows)
+    hot = np.sort(np.asarray([r[key] for r in hot_rows]))
     ref = ray.put(hot)
 
     def keep(batch: pa.Table) -> pa.Table:
-        s = ray.get(ref)
-        vals = batch.column(key).to_pylist()
-        return batch.filter(pa.array([v in s for v in vals], pa.bool_()))
+        arr = batch.column(key).to_numpy(zero_copy_only=False)
+        mask = np.isin(arr, ray.get(ref))
+        return batch.filter(pa.array(mask, pa.bool_()))
 
     return banded.map_batches(keep, batch_format="pyarrow")
 
@@ -89,10 +106,29 @@ def _collision_only(banded: "Dataset", key: str, max_broadcast: int = 2_000_000)
 
 def exact_dedup(ds: Dataset, text_col: str = "text", id_col: str = "doc_id") -> Dataset:
     """First-seen-wins exact dedup: one row per distinct text with the
-    min id and the duplicate count. Pure shuffle on the text key."""
-    return ds.groupby(text_col).aggregate(
-        Min(id_col, alias_name="keep_id"), Count(alias_name="dup_count")
-    )
+    min id and the duplicate count.
+
+    Scale path (mirrors pipelines.corpus.dedup_paragraphs_exact): a
+    per-block pandas combiner shrinks input first, then ONE int-keyed
+    hash-bucket shuffle (``hash_bucket_agg`` on hash64(text)) with an
+    in-bucket exact-text merge — never a sort of the corpus by the
+    full document body (Ray's sort-based groupby on a raw string key
+    is the engine's measured slow path)."""
+    from knowledge_graph_ray.pipelines.relational import hash_bucket_agg
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(text_col, as_index=False, sort=False).agg(
+            keep_id=(id_col, "min"), dup_count=(id_col, "size")
+        )
+
+    partial = ds.map_batches(combine, batch_format="pandas", batch_size=65536)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(text_col, as_index=False, sort=False).agg(
+            keep_id=("keep_id", "min"), dup_count=("dup_count", "sum")
+        )
+
+    return hash_bucket_agg(partial, [text_col], merge, num_buckets=64)
 
 
 # -------------------------------------------------------------- minhash
@@ -113,6 +149,60 @@ class MinHasher:
         vals = (self.a[:, None] * sh[None, :] + self.b[:, None]) % MERSENNE
         return vals.min(axis=1)
 
+    def signatures(self, shingle_sets: list[np.ndarray]) -> np.ndarray:
+        """(n_rows, n_hashes) signature matrix for a whole batch in one
+        numpy segmented reduction (``np.minimum.reduceat``) — the
+        per-row Python loop was the measured cost center of the
+        minhash headline query."""
+        n = len(shingle_sets)
+        sigs = np.full((n, self.n_hashes), MERSENNE, dtype=np.uint64)
+        lens = np.fromiter((len(s) for s in shingle_sets), dtype=np.int64, count=n)
+        total = int(lens.sum())
+        if total == 0:
+            return sigs
+        all_sh = np.concatenate([s for s in shingle_sets if len(s)])
+        # chunk rows so (n_hashes × chunk_shingles) stays bounded
+        row_start = 0
+        sh_start = 0
+        while row_start < n:
+            row_end = row_start
+            sh_count = 0
+            while row_end < n and (
+                sh_count == 0 or sh_count + lens[row_end] <= _SIG_CHUNK_SHINGLES
+            ):
+                sh_count += int(lens[row_end])
+                row_end += 1
+            chunk_lens = lens[row_start:row_end]
+            chunk_sh = all_sh[sh_start : sh_start + sh_count]
+            if sh_count:
+                vals = (
+                    self.a[:, None] * chunk_sh[None, :] + self.b[:, None]
+                ) % MERSENNE
+                # sentinel column: a trailing empty segment must not
+                # index out of bounds (it is overwritten below anyway)
+                vals = np.concatenate(
+                    [vals, np.full((self.n_hashes, 1), MERSENNE, np.uint64)], axis=1
+                )
+                offsets = np.zeros(len(chunk_lens), dtype=np.int64)
+                np.cumsum(chunk_lens[:-1], out=offsets[1:])
+                mins = np.minimum.reduceat(vals, offsets, axis=1).T
+                mins[chunk_lens == 0] = MERSENNE
+                sigs[row_start:row_end] = mins
+            row_start = row_end
+            sh_start += sh_count
+        # (rows with zero shingles keep the all-MERSENNE signature)
+        return sigs
+
+
+_HASHERS: dict[tuple[int, int], MinHasher] = {}
+
+
+def _hasher(n_hashes: int, seed: int) -> MinHasher:
+    key = (n_hashes, seed)
+    if key not in _HASHERS:
+        _HASHERS[key] = MinHasher(n_hashes, seed)
+    return _HASHERS[key]
+
 
 def minhash_band_rows(
     batch: pa.Table,
@@ -126,31 +216,63 @@ def minhash_band_rows(
     carry_text: bool = False,
 ) -> pa.Table:
     """map_batches kernel: one input row → ``bands`` rows
-    (band_key, id, signature[, text]). The band_key combines the band
-    index with the hash of that band's signature slice."""
-    hasher = MinHasher(n_hashes, seed)
+    (band_key, id, signature[, text]). The int64 band_key mixes the
+    band index with that band's signature slice (``combine_hashes``) —
+    an int shuffle key, not a string."""
+    hasher = _hasher(n_hashes, seed)
     rows_per_band = n_hashes // bands
-    ids = batch.column(id_col).to_pylist()
+    n = batch.num_rows
+    ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
     texts = batch.column(text_col).to_pylist()
-    o_key, o_id, o_sig, o_text = [], [], [], []
-    for rid, text in zip(ids, texts):
-        sig = hasher.signature(shingle_hashes(text, shingle_k))
-        for bidx in range(bands):
-            sl = sig[bidx * rows_per_band : (bidx + 1) * rows_per_band]
-            key = f"{bidx}:{stable_digest(sl.tobytes()):x}"  # process-stable
-            o_key.append(key)
-            o_id.append(rid)
-            o_sig.append(sig.astype("int64").tolist())
-            if carry_text:
-                o_text.append(text)
+    sigs = hasher.signatures([shingle_hashes(t, shingle_k) for t in texts])
+    # band keys: (n, bands) → flat; slice j of band b of row i is
+    # sigs[i, b*rpb + j]
+    sliced = sigs.reshape(n, bands, rows_per_band) if n else sigs.reshape(
+        0, bands, rows_per_band
+    )
+    band_idx = np.tile(np.arange(bands, dtype=np.uint64), n)
+    slot_cols = [sliced[:, :, j].reshape(-1) for j in range(rows_per_band)]
+    keys = combine_hashes(band_idx, *slot_cols).view(np.int64) if n else np.array(
+        [], dtype=np.int64
+    )
+    out_ids = np.repeat(ids, bands)
+    flat_sigs = np.repeat(sigs.view(np.int64), bands, axis=0).reshape(-1)
+    offs = np.arange(0, (n * bands + 1) * n_hashes, n_hashes, dtype=np.int32)
+    sig_arr = pa.ListArray.from_arrays(
+        pa.array(offs, pa.int32()), pa.array(flat_sigs, pa.int64())
+    )
     cols = {
-        "band_key": pa.array(o_key, pa.string()),
-        "id": pa.array(o_id, pa.int64()),
-        "sig": pa.array(o_sig, pa.list_(pa.int64())),
+        "band_key": pa.array(keys, pa.int64()),
+        "id": pa.array(out_ids, pa.int64()),
+        "sig": sig_arr,
     }
     if carry_text:
-        cols["text"] = pa.array(o_text, pa.string())
+        take_idx = np.repeat(np.arange(n, dtype=np.int64), bands)
+        cols["text"] = pc.take(
+            pc.cast(batch.column(text_col), pa.large_string()), take_idx
+        )
     return pa.table(cols)
+
+
+def _pair_frame(
+    ids: np.ndarray, score_matrix: np.ndarray, threshold: float
+) -> pd.DataFrame:
+    """Upper-triangle pairs with score >= threshold, vectorized."""
+    m = len(ids)
+    if m < 2:
+        return pd.DataFrame({"a": [], "b": [], "score": []}).astype(
+            {"a": "int64", "b": "int64", "score": "float64"}
+        )
+    iu, ju = np.triu_indices(m, k=1)
+    s = score_matrix[iu, ju]
+    keep = s >= threshold
+    return pd.DataFrame(
+        {
+            "a": ids[iu[keep]].astype(np.int64),
+            "b": ids[ju[keep]].astype(np.int64),
+            "score": s[keep].astype(np.float64),
+        }
+    )
 
 
 def _bucket_pairs_minhash(
@@ -159,21 +281,12 @@ def _bucket_pairs_minhash(
     """map_groups kernel: one band bucket → candidate pairs with
     estimated Jaccard (signature agreement). Deterministic order."""
     df = df.drop_duplicates(subset=["id"]).sort_values("id").head(group_cap)
-    ids = df["id"].tolist()
+    ids = df["id"].to_numpy()
     if len(ids) < 2:
-        return pd.DataFrame({"a": [], "b": [], "score": []}).astype(
-            {"a": "int64", "b": "int64", "score": "float64"}
-        )
+        return _pair_frame(ids, np.zeros((0, 0)), threshold)
     sigs = np.stack([np.asarray(s) for s in df["sig"]])
-    a_out, b_out, s_out = [], [], []
-    for i in range(len(ids)):
-        agree = (sigs[i] == sigs[i + 1 :]).mean(axis=1)
-        for j, est in enumerate(agree, start=i + 1):
-            if est >= threshold:
-                a_out.append(ids[i])
-                b_out.append(ids[j])
-                s_out.append(float(est))
-    return pd.DataFrame({"a": a_out, "b": b_out, "score": s_out})
+    est = (sigs[:, None, :] == sigs[None, :, :]).mean(axis=2)
+    return _pair_frame(ids, est, threshold)
 
 
 def minhash_lsh_pairs(
@@ -216,7 +329,7 @@ def simhash64(text: str) -> int:
     toks = _tokens(text)
     if not toks:
         return 0
-    h = hash64_array(toks)
+    h = md5_hash64_array(toks)
     bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(
         np.int32
     )
@@ -258,18 +371,20 @@ def _bucket_pairs_simhash(
     df: pd.DataFrame, max_hamming: int, group_cap: int
 ) -> pd.DataFrame:
     df = df.drop_duplicates(subset=["id"]).sort_values("id").head(group_cap)
-    ids = df["id"].tolist()
+    ids = df["id"].to_numpy()
+    if len(ids) < 2:
+        return _pair_frame(ids, np.zeros((0, 0)), 0.0)
     sims = df["simhash"].to_numpy().astype(np.uint64)
-    a_out, b_out, s_out = [], [], []
-    for i in range(len(ids)):
-        x = sims[i] ^ sims[i + 1 :]
-        dist = np.array([bin(int(v)).count("1") for v in x])
-        for j, d in enumerate(dist, start=i + 1):
-            if d <= max_hamming:
-                a_out.append(ids[i])
-                b_out.append(ids[j])
-                s_out.append(float(d))
-    return pd.DataFrame({"a": a_out, "b": b_out, "score": s_out})
+    x = sims[:, None] ^ sims[None, :]
+    # vectorized popcount via unpackbits over the byte view
+    dist = np.unpackbits(x.view(np.uint8).reshape(len(ids), len(ids), 8), axis=2).sum(
+        axis=2
+    )
+    # reuse _pair_frame by mapping "distance <= max_hamming" to a
+    # score >= threshold form: score = -dist, threshold = -max_hamming
+    out = _pair_frame(ids, -dist.astype(np.float64), -float(max_hamming))
+    out["score"] = -out["score"]
+    return out
 
 
 def simhash_pairs(
@@ -325,25 +440,21 @@ def ngram_jaccard_pairs(
 
     def verify(df: pd.DataFrame) -> pd.DataFrame:
         df = df.drop_duplicates(subset=["id"]).sort_values("id").head(group_cap)
-        ids = df["id"].tolist()
+        ids = df["id"].to_numpy()
+        if len(ids) < 2:
+            return _pair_frame(ids, np.zeros((0, 0)), threshold)
         sets = [set(shingle_hashes(t, shingle_k).tolist()) for t in df["text"]]
-        a_out, b_out, s_out = [], [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                inter = len(sets[i] & sets[j])
+        m = len(ids)
+        jac = np.zeros((m, m))
+        for i in range(m):
+            for j in range(i + 1, m):
                 union = len(sets[i] | sets[j]) or 1
-                jac = inter / union
-                if jac >= threshold:
-                    a_out.append(ids[i])
-                    b_out.append(ids[j])
-                    s_out.append(jac)
-        return pd.DataFrame({"a": a_out, "b": b_out, "score": s_out})
+                jac[i, j] = len(sets[i] & sets[j]) / union
+        return _pair_frame(ids, jac, threshold)
 
     pairs = _collision_only(banded, "band_key").groupby("band_key").map_groups(
         verify, batch_format="pandas"
     )
-    from ray.data.aggregate import Max
-
     return pairs.groupby(["a", "b"]).aggregate(Max("score", alias_name="score"))
 
 
@@ -355,91 +466,139 @@ def embedding_cosine_pairs(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     threshold: float = 0.9,
-    nbits: int = 8,
+    nbits: int = 16,
+    bands: int = 2,
     seed: int = 42,
-    group_cap: int = 4 * DEFAULT_GROUP_CAP,
+    group_cap: int | None = None,
     dim: int | None = None,
 ) -> Dataset:
-    """Near-dup by embedding cosine: random-hyperplane bucket keys
-    (docs in the same bucket share all sign bits), within-bucket exact
-    cosine. Multi-probe: each row is also emitted into the buckets at
-    Hamming distance 1, so near-identical vectors across a plane
-    boundary still meet (recall/cost trade-off documented)."""
+    """Near-dup by embedding cosine: random-hyperplane sign BANDS as
+    bucket keys, within-bucket exact cosine verify (vectorized matmul
+    + upper-triangle mask). Scores rounded to 6 decimals (SQL-oracle
+    convention shared with stages.knn).
+
+    Shuffle amplification is exactly ``bands`` (each row is emitted
+    once per band — the round-1 multi-probe design emitted nbits+1=9
+    copies). A pair collides iff at least one band of sign bits
+    agrees; more bands (fewer bits each) → higher recall, linearly
+    more shuffle. ``group_cap=None`` (default) never truncates a
+    bucket — set it only to bound adversarial boilerplate clusters,
+    at a documented recall cost."""
+    nbits_per_band = nbits // bands
+    weights = 1 << np.arange(nbits_per_band, dtype=np.int64)
 
     def bucket(batch: pa.Table) -> pa.Table:
-        vecs = np.asarray(batch.column(vec_col).to_pylist(), dtype=np.float32)
-        d = vecs.shape[1]
+        n = batch.num_rows
+        empty = pa.table(
+            {
+                "band_key": pa.array([], pa.int64()),
+                "id": pa.array([], pa.int64()),
+                "vec": pa.array([], pa.list_(pa.float64())),
+            }
+        )
+        if n == 0:  # an empty block must not reach vecs.shape[1]
+            return empty
+        vecs = np.asarray(batch.column(vec_col).to_pylist(), dtype=np.float64)
+        d = dim or vecs.shape[1]
         rng = np.random.default_rng(seed)
-        planes = rng.standard_normal((d, nbits)).astype(np.float32)
+        planes = rng.standard_normal((d, nbits))
         norms = np.linalg.norm(vecs, axis=1, keepdims=True)
         norms[norms == 0] = 1
         unit = vecs / norms
-        bits = (unit @ planes) > 0
-        sigs = (bits * (1 << np.arange(nbits, dtype=np.int64))).sum(axis=1)
-        ids = batch.column(id_col).to_pylist()
-        o_key, o_id, o_vec = [], [], []
-        for i, (rid, sig) in enumerate(zip(ids, sigs)):
-            probes = [int(sig)] + [int(sig) ^ (1 << b) for b in range(nbits)]
-            for p in probes:
-                o_key.append(p)
-                o_id.append(rid)
-                o_vec.append(unit[i].tolist())
+        bits = (unit @ planes) > 0  # (n, nbits)
+        keys = []
+        for b in range(bands):
+            sl = bits[:, b * nbits_per_band : (b + 1) * nbits_per_band]
+            sig = (sl * weights).sum(axis=1)
+            keys.append(sig * bands + b)  # disjoint key space per band
+        band_key = np.concatenate(keys)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        out_ids = np.tile(ids, bands)
+        flat = np.tile(unit, (bands, 1)).reshape(-1)
+        offs = np.arange(0, (n * bands + 1) * unit.shape[1], unit.shape[1], dtype=np.int32)
+        vec_arr = pa.ListArray.from_arrays(
+            pa.array(offs, pa.int32()), pa.array(flat, pa.float64())
+        )
         return pa.table(
             {
-                "bucket": pa.array(o_key, pa.int64()),
-                "id": pa.array(o_id, pa.int64()),
-                "vec": pa.array(o_vec, pa.list_(pa.float32())),
+                "band_key": pa.array(band_key, pa.int64()),
+                "id": pa.array(out_ids, pa.int64()),
+                "vec": vec_arr,
             }
         )
 
     def pairs_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.drop_duplicates(subset=["id"]).sort_values("id").head(group_cap)
-        ids = df["id"].tolist()
+        df = df.drop_duplicates(subset=["id"]).sort_values("id")
+        if group_cap is not None:
+            df = df.head(group_cap)
+        ids = df["id"].to_numpy()
         if len(ids) < 2:
-            return pd.DataFrame({"a": [], "b": [], "score": []}).astype(
-                {"a": "int64", "b": "int64", "score": "float64"}
-            )
-        m = np.stack([np.asarray(v, dtype=np.float32) for v in df["vec"]])
+            return _pair_frame(ids, np.zeros((0, 0)), threshold)
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in df["vec"]])
         sims = m @ m.T
-        a_out, b_out, s_out = [], [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                if sims[i, j] >= threshold:
-                    a_out.append(ids[i])
-                    b_out.append(ids[j])
-                    s_out.append(float(sims[i, j]))
-        return pd.DataFrame({"a": a_out, "b": b_out, "score": s_out})
+        out = _pair_frame(ids, sims, threshold)
+        out["score"] = np.round(out["score"], 6)
+        return out
 
     bucketed = ds.map_batches(bucket, batch_format="pyarrow")
-    pairs = _collision_only(bucketed, "bucket").groupby("bucket").map_groups(
+    pairs = _collision_only(bucketed, "band_key").groupby("band_key").map_groups(
         pairs_in_bucket, batch_format="pandas"
     )
-    from ray.data.aggregate import Max
-
     return pairs.groupby(["a", "b"]).aggregate(Max("score", alias_name="score"))
 
 
 # ------------------------------------------------------------ survivors
 
-def drops_from_pairs(pairs: Dataset) -> set[int]:
-    """Deterministic survivor rule: drop the larger id of every pair.
-    The drop set is collected to the driver (pairs ≪ corpus) and meant
-    to be broadcast into a filter stage via ray.put."""
-    drops: set[int] = set()
+def drops_from_pairs(pairs: Dataset, strategy: str = "pair") -> set[int]:
+    """Deterministic survivor rule over the (small) pair set, collected
+    to the driver and meant to be broadcast into a filter stage.
+
+    - ``'pair'``: drop the larger id of every pair (cheap; A→B, B→C
+      chains may keep C — the documented per-pair divergence).
+    - ``'components'``: union-find transitive closure; keep the min id
+      per connected component (reference evidence-chain semantics,
+      remove_duplicate_paragraphs.py:123-128)."""
+    if strategy == "pair":
+        drops: set[int] = set()
+        for row in pairs.iter_rows():
+            drops.add(max(row["a"], row["b"]))
+        return drops
+    if strategy != "components":
+        raise ValueError(f"unknown survivor strategy: {strategy!r}")
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    members: set[int] = set()
     for row in pairs.iter_rows():
-        drops.add(max(row["a"], row["b"]))
-    return drops
+        a, b = int(row["a"]), int(row["b"])
+        members.update((a, b))
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    keep = {}
+    for x in members:
+        r = find(x)
+        keep[r] = min(keep.get(r, x), x)
+    survivors = set(keep.values())
+    return {x for x in members if x not in survivors}
 
 
 def filter_dropped(ds: Dataset, drops: set[int], id_col: str = "doc_id") -> Dataset:
     import ray
 
-    drops_ref = ray.put(frozenset(drops))
+    drops_ref = ray.put(np.sort(np.fromiter(drops, dtype=np.int64, count=len(drops))))
 
     def keep(batch: pa.Table) -> pa.Table:
         d = ray.get(drops_ref)
-        ids = batch.column(id_col).to_pylist()
-        mask = pa.array([i not in d for i in ids], pa.bool_())
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        mask = pa.array(~np.isin(ids, d), pa.bool_())
         return batch.filter(mask)
 
     return ds.map_batches(keep, batch_format="pyarrow")

@@ -85,11 +85,12 @@ def sniff_kind(payload: bytes | str) -> str:
 
 def extract_text_from_pdf(payload: bytes) -> str:
     """S4 PDF→text (reference get_files.py:23-35, PyPDF2 page loop).
-    No PDF library in this container — STUB: raises, and the caller's
-    quarantine column records the row (v1 ships html only)."""
-    raise NotImplementedError(
-        "PDF extraction requires a PDF library; plug a real extractor here"
-    )
+    Pure-stdlib minimal extractor (zlib FlateDecode + BT/ET Tj/TJ
+    scan, functions/pdf.py) — byte-deterministic, golden-pinned like
+    the HTML oracle."""
+    from knowledge_graph_ray.functions.pdf import extract_pdf_text
+
+    return extract_pdf_text(payload)
 
 
 def extract_text(html: bytes | str) -> str:

@@ -36,6 +36,22 @@ def hash64(value: str) -> int:
     return int(hash64_array([value])[0])
 
 
+def md5_hash64_array(values: pa.Array | pa.ChunkedArray | list) -> np.ndarray:
+    """uint64 md5-derived hash of each string — the SQL-TWINNABLE hash
+    family: equals DuckDB's ``md5_number_lower(s)`` (last 8 digest
+    bytes, little-endian; verified against DuckDB 1.0). Used for every
+    content hash whose value surfaces in oracle-checked output
+    (minhash shingles, simhash tokens, fingerprints). Shuffle-key-only
+    hashes stay on the faster vectorized SipHash (``hash64_array``)."""
+    if isinstance(values, (pa.Array, pa.ChunkedArray)):
+        values = values.to_pylist()
+    out = np.empty(len(values), dtype=np.uint64)
+    md5 = hashlib.md5
+    for i, v in enumerate(values):
+        out[i] = int.from_bytes(md5(v.encode("utf-8")).digest()[8:], "little")
+    return out
+
+
 def stable_digest(value: bytes | str) -> int:
     """md5-based stable 64-bit digest — used where a second independent
     hash family is needed (e.g. salting, minhash seeds)."""

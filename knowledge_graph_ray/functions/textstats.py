@@ -15,7 +15,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from knowledge_graph_ray.functions.hashing import hash64_array
+from knowledge_graph_ray.functions.hashing import md5_hash64_array
 
 _TOKEN_RE = re.compile(r"\w+")
 _WORD_SPLIT = re.compile(r"\s+")
@@ -127,7 +127,8 @@ def token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
 def rolling_fingerprint(text: str, window: int = 8, keep: int = 4) -> list[int]:
     """Winnowing-style document fingerprint: rolling hash over token
     windows, keep the ``keep`` smallest hashes (order-insensitive,
-    robust to local edits)."""
+    robust to local edits). md5 hash family — SQL-twinnable via
+    DuckDB ``md5_number_lower`` (see functions.hashing)."""
     toks = tokens_of(text)
     if not toks:
         return []
@@ -135,7 +136,7 @@ def rolling_fingerprint(text: str, window: int = 8, keep: int = 4) -> list[int]:
         grams = [" ".join(toks)]
     else:
         grams = [" ".join(toks[i : i + window]) for i in range(len(toks) - window + 1)]
-    h = np.unique(hash64_array(grams))
+    h = np.unique(md5_hash64_array(grams))
     return [int(x) for x in h[:keep]]
 
 

@@ -54,7 +54,10 @@ def remove_near_dup_paragraphs(paras: Dataset, *, threshold: float = 0.85) -> Da
     104-132 — cosine 0.98 over embeddings ≈ high Jaccard over text).
     Pair generation is the banded MinHash shuffle; the drop set (pairs
     only) is small and broadcast."""
-    keyed = paras.map_batches(add_para_key, batch_format="pyarrow")
+    # materialize: ``keyed`` is consumed twice (pair generation and the
+    # final filter) — pinning it stops the extract/segment upstream
+    # from re-executing for the second consumer
+    keyed = paras.map_batches(add_para_key, batch_format="pyarrow").materialize()
     pairs = dedup.minhash_lsh_pairs(
         keyed, text_col="text", id_col="para_key", threshold=threshold
     )

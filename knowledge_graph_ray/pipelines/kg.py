@@ -189,6 +189,11 @@ def build_kg(
 
     paras = extract_and_segment(pages)
     if checkpoint_dir is not None:
+        # clear before writing: write_parquet APPENDs (uuid filenames),
+        # so a rerun with the same dir would double the corpus
+        import shutil
+
+        shutil.rmtree(checkpoint_dir, ignore_errors=True)
         paras.write_parquet(checkpoint_dir)
         paras = rd.read_parquet(checkpoint_dir)
 
@@ -233,11 +238,11 @@ def canonicalize_nil_surfaces(triples: Dataset, threshold: int = 85) -> Dataset:
     def nil_surfaces(batch: pa.Table) -> pa.Table:
         out = set()
         for col in ("subj", "obj"):
+            if col not in batch.column_names:
+                continue
             for v in batch.column(col).to_pylist():
                 if v.startswith("surface:"):
                     out.add(v[8:])
-            if "obj" not in batch.column_names:
-                break
         return pa.table({"norm": pa.array(sorted(out), pa.string())})
 
     distinct = {

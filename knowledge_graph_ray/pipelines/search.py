@@ -77,7 +77,12 @@ def search(
     qtexts = {q: t for q, t in queries}
     qvecs = embedder.encode([t for _, t in queries])
 
-    paras = paragraphs.map_batches(add_para_key, batch_format="pyarrow")
+    # pin once: paras is consumed THREE times below (ANN scan,
+    # candidate fetch, doc fetch) — without materialize() the whole
+    # upstream (extract → segment → dedup → embed actor pool) would
+    # re-execute per consumer (CLAUDE.md gotcha). Plasma-backed,
+    # spillable; at real scale checkpoint to parquet instead.
+    paras = paragraphs.map_batches(add_para_key, batch_format="pyarrow").materialize()
     # K1/T7: streaming ANN — corpus never collected
     cands = knn_topk(
         paras, qids, qvecs, k=k_ann, vec_col="embedding", id_col="para_key",

@@ -343,3 +343,77 @@ def write_corpus(out_dir: str, n_pages: int, seed: int = 42) -> dict[str, str]:
         pq.write_table(tbl, p)
         paths[name] = p
     return paths
+
+
+# ------------------------------------------------------------- PDF pages
+
+def make_pdf(lines: list[str], compress: bool = True) -> bytes:
+    """Minimal valid single-page PDF with one text line per Tj op —
+    the deterministic fixture for functions.pdf.extract_pdf_text
+    (reference ingests real PDFs via PyPDF2, get_files.py:23-35; this
+    synthesizes the equivalent input in-sandbox). Latin-1-encodable
+    text only; parens/backslashes are escaped."""
+    import zlib
+
+    def esc(s: str) -> bytes:
+        return (
+            s.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")
+        ).encode("latin-1")
+
+    ops = [b"BT /F1 12 Tf 72 720 Td"]
+    for i, line in enumerate(lines):
+        if i:
+            ops.append(b"0 -14 Td")
+        ops.append(b"(" + esc(line) + b") Tj")
+    ops.append(b"ET")
+    content = b"\n".join(ops)
+    filt = b""
+    if compress:
+        content = zlib.compress(content)
+        filt = b" /Filter /FlateDecode"
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>",
+        b"<< /Length " + str(len(content)).encode() + filt + b" >>\nstream\n"
+        + content + b"\nendstream",
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+    ]
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = []
+    for i, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += f"{i} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref_at = len(out)
+    out += b"xref\n0 " + str(len(objs) + 1).encode() + b"\n"
+    out += b"0000000000 65535 f \n"
+    for off in offsets:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (
+        b"trailer\n<< /Size " + str(len(objs) + 1).encode()
+        + b" /Root 1 0 R >>\nstartxref\n" + str(xref_at).encode() + b"\n%%EOF\n"
+    )
+    return bytes(out)
+
+
+def pdf_pages_table(n_pages: int, seed: int = 42) -> pa.Table:
+    """Synthetic PDF corpus: same text family as build_page, rendered
+    as PDF bytes in the html column (the extract stage sniffs %PDF-
+    and dispatches to the PDF extractor)."""
+    rows_url, rows_ts, rows_pdf = [], [], []
+    for i in range(n_pages):
+        b = build_page(i, seed)
+        lines = [ln for ln in b.text.split("\n") if ln.strip()][:12]
+        rows_url.append(b.url.replace(".html", ".pdf"))
+        rows_ts.append(b.warc_ts)
+        rows_pdf.append(make_pdf(lines, compress=(i % 2 == 0)))
+    return pa.table(
+        {
+            "doc_id": pa.array(range(n_pages), pa.int64()),
+            "url": pa.array(rows_url, pa.string()),
+            "warc_ts": pa.array(rows_ts, pa.timestamp("us")),
+            "html": pa.array(rows_pdf, pa.binary()),
+            "lang": pa.array(["da"] * n_pages, pa.string()),
+        }
+    )

@@ -24,6 +24,7 @@ from __future__ import annotations
 import hashlib
 import json
 import os
+import shutil
 import time
 from collections.abc import Callable
 
@@ -98,6 +99,11 @@ def run_sharded(
         rows_in = ds_in.count()
         out_ds = build(ds_in)
         shard_dir = os.path.join(out_dir, f"shard={shard}")
+        # A rerun (crash mid-write, or input-fingerprint invalidation)
+        # must not APPEND to a stale shard dir: Ray's write_parquet
+        # uses per-run uuid filenames, so old files would survive and
+        # read_all_shards would silently union old+new rows.
+        shutil.rmtree(shard_dir, ignore_errors=True)
         out_ds.write_parquet(shard_dir)
         rows_out = rd.read_parquet(shard_dir).count()
         manifest = {

@@ -128,3 +128,28 @@ def test_run_kg_resumable_end_to_end(pages_dir, tmp_path, ray_session):
     assert rep2["skipped"] == 2
     final2 = rd.read_parquet(rep2["final_dir"])
     assert {(r["subj"], r["pred"], r["obj"]) for r in final2.take_all()} == got
+
+
+def test_rerun_clears_stale_shard_output(pages_dir, tmp_path, ray_session):
+    """A shard re-run (input invalidation or crash-mid-write) must
+    CLEAR its shard dir first: write_parquet appends uuid-named files,
+    so stale output would silently double the final row count."""
+    out = str(tmp_path / "out")
+    shards = ckpt.shard_input_files(pages_dir, 2)
+    ckpt.run_sharded(shards, upper_stage, out)
+    n0 = ckpt.read_all_shards(out).count()
+
+    # invalidate shard 0000's manifest (simulates input change) and
+    # pre-plant a stale parquet file (simulates crash-mid-write leftovers)
+    mpath = os.path.join(out, "_manifest", "0000.json")
+    with open(mpath) as fh:
+        m = json.load(fh)
+    m["input_fingerprint"] = "stale"
+    with open(mpath, "w") as fh:
+        json.dump(m, fh)
+    stale = os.path.join(out, "shard=0000", "stale_leftover.parquet")
+    pq.write_table(synth.pages_table(7).select(["url", "lang"]), stale)
+
+    ckpt.run_sharded(shards, upper_stage, out)
+    assert ckpt.read_all_shards(out).count() == n0
+    assert not os.path.exists(stale)

@@ -112,6 +112,48 @@ def test_drops_and_filter(ray_session):
     assert sorted(r["doc_id"] for r in kept) == [0, 2]
 
 
+def test_drops_components_transitive(ray_session):
+    # chain 1-3, 2-3: per-pair rule drops only {3}; union-find closure
+    # groups {1,2,3} and keeps the min id
+    pairs = rd.from_arrow(
+        pa.table(
+            {
+                "a": pa.array([1, 2], pa.int64()),
+                "b": pa.array([3, 3], pa.int64()),
+                "score": pa.array([1.0, 1.0]),
+            }
+        )
+    )
+    assert dedup.drops_from_pairs(pairs, strategy="pair") == {3}
+    assert dedup.drops_from_pairs(pairs, strategy="components") == {2, 3}
+
+
+def test_embedding_banding_recall_on_planted(ray_session):
+    # 20 near-identical planted pairs: sign-band recall at cos≈0.9999
+    # is deterministic for the fixed seeds — every planted pair found
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((20, 64))
+    dup = base + rng.standard_normal((20, 64)) * 0.002
+    ids = list(range(20)) + list(range(100, 120))
+    vecs = np.vstack([base, dup])
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": pa.array([v.tolist() for v in vecs], pa.list_(pa.float64())),
+        }
+    )
+    pairs = dedup.embedding_cosine_pairs(
+        rd.from_arrow(tbl), threshold=0.99
+    ).take_all()
+    found = {(r["a"], r["b"]) for r in pairs}
+    assert {(i, i + 100) for i in range(20)} <= found
+    # precision: every emitted pair really is >= threshold (re-check)
+    unit = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    by_id = {v: unit[i] for i, v in enumerate(ids)}
+    for r in pairs:
+        assert float(by_id[r["a"]] @ by_id[r["b"]]) >= 0.99
+
+
 def test_group_cap_bounds_work(ray_session):
     # 30 identical docs: cap=10 → pairs only among first 10, but doc 0
     # still dominates → all but one of the capped set get dropped

@@ -7,29 +7,25 @@ import pytest
 
 SF_DIR = "/root/testdata/sf0.001"
 
+# (round 2 moved minhash/simhash/jaccard/embedding-pairs/fingerprint/
+# knn_lsh/knn_ivf/qa_pairs to generated DuckDB oracles — see
+# tests/test_oracle_parity.py; only genuinely non-SQL pipelines stay)
 ROWS_ONLY = [
     "kg_flagship",
-    "docs_minhash_pairs",
-    "docs_simhash_pairs",
-    "docs_ngram_jaccard_pairs",
-    "embedding_dup_pairs",
-    "docs_fingerprint",
-    "knn_lsh",
-    "knn_ivf",
     "mention_canonicalization",
     "search_ranked_contexts",
-    "qa_pairs_extract",
     "alias_map_assembly",
     "corpus_paragraphs",
     "udf_rephrase",
     "media_features",
     "semantic_paragraphs",
+    "pdf_corpus_extract",
 ]
 
-MUST_HAVE_ROWS = {"kg_flagship", "docs_fingerprint", "knn_lsh", "knn_ivf",
-                  "mention_canonicalization", "search_ranked_contexts",
-                  "qa_pairs_extract", "alias_map_assembly", "corpus_paragraphs",
-                  "udf_rephrase", "media_features", "semantic_paragraphs"}
+MUST_HAVE_ROWS = {"kg_flagship", "mention_canonicalization",
+                  "search_ranked_contexts", "alias_map_assembly",
+                  "corpus_paragraphs", "udf_rephrase", "media_features",
+                  "semantic_paragraphs", "pdf_corpus_extract"}
 
 
 @pytest.mark.parametrize("name", ROWS_ONLY)
