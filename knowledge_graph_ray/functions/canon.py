@@ -173,26 +173,22 @@ def surface_stats(mentions_ds, n_salts: int = DEFAULT_SALTS):
         block_combine, batch_format="pandas", batch_size=65536
     )
 
-    # rounds 1-2: tree merge of the salted partials. After the block
-    # combiner the row count is (distinct norms × salts × blocks) — by
-    # construction small enough to broadcast (it becomes the canonical
-    # map), so coalescing repartitions beat a keyed shuffle. The salt
-    # key still bounds any one merge task's share of a hot surface.
-    merged = combined.repartition(8).map_batches(
-        lambda df: df.groupby(["norm", "salt"], as_index=False, sort=False).agg(
-            partial_count=("partial_count", "sum")
-        ),
-        batch_format="pandas",
-        batch_size=None,
-    )
-    final = merged.repartition(1).map_batches(
+    # final merge: ONE int-keyed hash-bucket shuffle on norm — never a
+    # single-block funnel (open-web corpora have unbounded distinct
+    # generic-MISC surfaces; the round-1 repartition(1) was the scale
+    # escape flagged in review). A hot surface lands in one bucket,
+    # but a bucket reduce is a vectorized pandas groupby over many
+    # keys, and the upstream salt+combine already shrank its rows.
+    from knowledge_graph_ray.pipelines.relational import hash_bucket_agg
+
+    return hash_bucket_agg(
+        combined,
+        ["norm"],
         lambda df: df.groupby("norm", as_index=False, sort=False).agg(
             n_mentions=("partial_count", "sum")
         ),
-        batch_format="pandas",
-        batch_size=None,
+        num_buckets=32,
     )
-    return final
 
 
 # ------------------------------------------------------- fuzzy clusters
@@ -218,18 +214,31 @@ def cluster_block(df: pd.DataFrame, threshold: int = FUZZY_THRESHOLD) -> pd.Data
 
 
 def canonical_surface_map(
-    stats_ds, threshold: int = FUZZY_THRESHOLD, strategy: str = "tree"
+    stats_ds,
+    threshold: int = FUZZY_THRESHOLD,
+    strategy: str = "bucket",
+    min_count: int = 1,
+    num_buckets: int = 32,
 ):
     """Distinct surfaces → canonical surface via blocked fuzzy
     clustering. Returns Dataset (norm, canonical).
 
-    strategy='tree' (default): distinct surfaces are already a small
-    side (they fit — they're the broadcast map's keys), so blocks are
-    clustered in ONE pandas kernel after a coalescing repartition —
-    Ray's per-group map_groups overhead (≈1 ms/group) would dominate
-    on the mostly-singleton block space.
-    strategy='shuffle': groupby(block_key).map_groups — keeps every
-    step distributed for extreme surface cardinalities.
+    strategy='bucket' (default): hash-bucket shuffle on block_key —
+    every candidate block lands whole in one bucket (clustering is
+    block-local), each bucket clusters its blocks in one vectorized
+    pandas kernel with a singleton short-circuit. Distributed in the
+    number of distinct surfaces (no single-block funnel — open-web
+    generic-MISC spans are unbounded) without paying Ray's per-group
+    map_groups overhead on the mostly-singleton block space.
+    strategy='shuffle': groupby(block_key).map_groups — one task per
+    block.
+
+    ``min_count`` (requires an ``n_mentions`` column, as produced by
+    surface_stats) pre-filters rare surfaces out of clustering — they
+    pass through self-canonical instead. Use it to cap unbounded
+    one-off generic-MISC spans: only surfaces seen >= min_count times
+    are worth canonicalizing, and the cluster kernel then never sees
+    the long tail.
     """
 
     def add_block(batch: pa.Table) -> pa.Table:
@@ -238,33 +247,52 @@ def canonical_surface_map(
             "block_key", pa.array([block_key(n) for n in norms], pa.string())
         )
 
+    if min_count > 1:
+        rare = stats_ds.filter(expr=f"n_mentions < {min_count}")
+        stats_ds = stats_ds.filter(expr=f"n_mentions >= {min_count}")
+
     blocked = stats_ds.map_batches(add_block, batch_format="pyarrow")
     if strategy == "shuffle":
-        return blocked.groupby("block_key").map_groups(
+        out = blocked.groupby("block_key").map_groups(
             lambda df: cluster_block(df, threshold), batch_format="pandas"
         )
+    else:
 
-    def cluster_all(df: pd.DataFrame) -> pd.DataFrame:
-        outs = []
-        # singleton blocks (the overwhelming majority) short-circuit
-        sizes = df.groupby("block_key")["norm"].transform("size")
-        single = df[sizes == 1]
-        if len(single):
-            outs.append(
-                pd.DataFrame({"norm": single["norm"], "canonical": single["norm"]})
+        def cluster_bucket(df: pd.DataFrame) -> pd.DataFrame:
+            outs = []
+            # singleton blocks (the overwhelming majority) short-circuit
+            sizes = df.groupby("block_key")["norm"].transform("size")
+            single = df[sizes == 1]
+            if len(single):
+                outs.append(
+                    pd.DataFrame({"norm": single["norm"], "canonical": single["norm"]})
+                )
+            multi = df[sizes > 1]
+            for _, g in multi.groupby("block_key", sort=False):
+                outs.append(cluster_block(g, threshold))
+            return (
+                pd.concat(outs, ignore_index=True)
+                if outs
+                else pd.DataFrame({"norm": [], "canonical": []}).astype("str")
             )
-        multi = df[sizes > 1]
-        for _, g in multi.groupby("block_key", sort=False):
-            outs.append(cluster_block(g, threshold))
-        return (
-            pd.concat(outs, ignore_index=True)
-            if outs
-            else pd.DataFrame({"norm": [], "canonical": []}).astype("str")
-        )
 
-    return blocked.repartition(1).map_batches(
-        cluster_all, batch_format="pandas", batch_size=None
-    )
+        from knowledge_graph_ray.pipelines.relational import hash_bucket_agg
+
+        out = hash_bucket_agg(
+            blocked, ["block_key"], cluster_bucket, num_buckets=num_buckets
+        )
+    if min_count > 1:
+
+        def self_canon(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "norm": batch.column("norm"),
+                    "canonical": batch.column("norm"),
+                }
+            )
+
+        out = out.union(rare.map_batches(self_canon, batch_format="pyarrow"))
+    return out
 
 
 # ---------------------------------------------------------------- D5

@@ -59,20 +59,24 @@ def partial_grouped(
     keys: list[str],
     sum_cols: dict[str, str],
     count_alias: str | None = None,
-    tree: bool = True,
+    merge: str = "tree",
+    num_buckets: int = 32,
 ) -> Dataset:
     """Pre-aggregate inside map_batches (combiner), then merge partials
     (SURVEY.md §4: push aggregation partial).
 
-    Merge strategies:
-    - ``tree=True`` (default): tree aggregation — repartition the
-      already-combined partials down (k → 4 → 1 blocks) re-combining at
-      each level. An order of magnitude cheaper than the groupby
-      barrier when the RESULT cardinality is modest (≤ a few million
-      rows); the final level is one block, so this is wrong for
-      billion-group results.
-    - ``tree=False``: Ray-native sort-based ``groupby().aggregate`` —
-      fully scalable in result cardinality; higher constant cost.
+    Merge strategies — pick by RESULT cardinality:
+    - ``'tree'`` (default): repartition the already-combined partials
+      down (k → 4 → 1 blocks) re-combining at each level. Cheapest
+      when the result is small (TPC-H Q1's 6 groups); the final level
+      is ONE block, so it is wrong for results that grow with the
+      corpus.
+    - ``'bucket'``: hash-bucket shuffle on the group keys
+      (``relational.hash_bucket_agg``) — result cardinality scales
+      with ``num_buckets`` reducers; use for corpus-proportional keys
+      (user×day, URL host, ...).
+    - ``'groupby'``: Ray-native sort-based ``groupby().aggregate`` —
+      fully scalable, highest constant cost.
     """
 
     def combine(df: pd.DataFrame) -> pd.DataFrame:
@@ -81,7 +85,7 @@ def partial_grouped(
             agg[count_alias] = (keys[0], "size")
         return df.groupby(keys, as_index=False, sort=False).agg(**agg)
 
-    def merge(df: pd.DataFrame) -> pd.DataFrame:
+    def merge_fn(df: pd.DataFrame) -> pd.DataFrame:
         cols = list(sum_cols.values()) + ([count_alias] if count_alias else [])
         agg = {c: (c, "sum") for c in cols}
         return df.groupby(keys, as_index=False, sort=False).agg(**agg)
@@ -89,12 +93,14 @@ def partial_grouped(
     # batch_size=None → whole blocks: one pandas groupby per block, not
     # per 1024-row slice (the combiner must see big batches to shrink)
     partials = ds.map_batches(combine, batch_format="pandas", batch_size=None)
-    if tree:
+    if merge == "tree":
         for p in (4, 1):
             partials = partials.repartition(p).map_batches(
-                merge, batch_format="pandas", batch_size=None
+                merge_fn, batch_format="pandas", batch_size=None
             )
         return partials
+    if merge == "bucket":
+        return R.hash_bucket_agg(partials, keys, merge_fn, num_buckets=num_buckets)
     aggs = [Sum(alias, alias_name=alias) for alias in sum_cols.values()]
     if count_alias:
         aggs.append(Sum(count_alias, alias_name=count_alias))
@@ -202,16 +208,12 @@ GROUP BY n_name
 
 
 def q_building_orders(sf_dir: str) -> Dataset:
-    """Broadcast semi-join (J1) + aggregate by priority."""
+    """Semi-join (J1) + aggregate by priority. The key side is ~20% of
+    customers (corpus-proportional) → size-guarded ``semi_join``:
+    broadcast while it fits, distributed hash join above the guard."""
     orders = _read(sf_dir, "orders")
-    customer = _read(sf_dir, "customer")
-    keys = [
-        r["c_custkey"]
-        for r in customer.filter(expr="c_mktsegment == 'BUILDING'")
-        .select_columns(["c_custkey"])
-        .take_all()
-    ]
-    filtered = R.semi_filter(orders, keys, col="o_custkey")
+    building = _read(sf_dir, "customer").filter(expr="c_mktsegment == 'BUILDING'")
+    filtered = R.semi_join(orders, building, on="o_custkey", right_on="c_custkey")
     agg = partial_grouped(
         filtered,
         ["o_orderpriority"],
@@ -266,11 +268,14 @@ def q_daily_user_activity(sf_dir: str) -> Dataset:
         df["day"] = df["ts"].dt.strftime("%Y-%m-%d")
         return df[["user_id", "day", "value"]]
 
+    # user×day result cardinality grows with the corpus → bucketed
+    # merge, never the tree's final single block
     agg = partial_grouped(
         events.map_batches(day, batch_format="pandas", batch_size=None),
         ["user_id", "day"],
         {"value": "total_value_milli"},
         count_alias="n_events",
+        merge="bucket",
     )
     return int_cols(agg, ["total_value_milli"], scale=1000.0)
 
@@ -376,16 +381,13 @@ def q_graph_2hop(sf_dir: str) -> Dataset:
     nodes matching (pred=c_mktsegment, obj=BUILDING) → hasOrder edges
     → distinct order URIs. SPARQL chain as filter + semi-join chain."""
     cust_triples = q_customer_node_triples(sf_dir)
-    seeds = {
-        r["subj"]
-        for r in T.filter_pred_obj(
-            cust_triples, pred="c_mktsegment", obj_in=["BUILDING"]
-        )
-        .select_columns(["subj"])
-        .take_all()
-    }
+    seeds = T.filter_pred_obj(
+        cust_triples, pred="c_mktsegment", obj_in=["BUILDING"]
+    ).select_columns(["subj"])
     edges = q_order_edge_triples(sf_dir).filter(expr="pred == 'hasOrder'")
-    hits = R.semi_filter(edges, seeds, col="subj").select_columns(["obj"])
+    # seed set is corpus-proportional → size-guarded semi_join, not a
+    # driver-side take_all
+    hits = R.semi_join(edges, seeds, on="subj").select_columns(["obj"])
 
     def rename(batch: pa.Table) -> pa.Table:
         return pa.table({"order_uri": batch.column("obj")})

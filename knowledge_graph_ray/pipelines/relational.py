@@ -13,7 +13,9 @@ enrichment (J3, create_QA_dataset.py:71-95).
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 from ray.data import Dataset
@@ -33,29 +35,35 @@ def broadcast_join(
     how='inner' drops probe rows with no match; 'left' keeps them with
     nulls. Build side must be one row per key (dim-table shape).
     """
+    import pandas as pd
+
     small_key = small_key or key
     cols = cols or [c for c in small.column_names if c != small_key]
-    keys = small.column(small_key).to_pylist()
-    lookup: dict = {}
-    data = {c: small.column(c).to_pylist() for c in cols}
-    for i, k in enumerate(keys):
-        lookup[k] = tuple(data[c][i] for c in cols)
-    # arrow types for the appended columns
-    out_types = {c: small.schema.field(c).type for c in cols}
-    ref = ray.put(lookup)
+    # build side shipped once as (key index, per-column Arrow arrays);
+    # the probe is a vectorized hash lookup (pandas Index.get_indexer,
+    # C-speed) + Arrow take — no per-row Python loop on the hot path
+    build_index = pd.Index(small.column(small_key).to_pylist())
+    build_cols = {c: small.column(c).combine_chunks() for c in cols}
+    ref = ray.put((build_index, build_cols))
 
     def probe(batch: pa.Table) -> pa.Table:
-        table = ray.get(ref)
-        probe_keys = batch.column(key).to_pylist()
-        hits = [table.get(k) for k in probe_keys]
+        index, data = ray.get(ref)
+        probe_keys = batch.column(key).to_numpy(zero_copy_only=False)
+        pos = index.get_indexer(probe_keys)  # -1 = no match
         if how == "inner":
-            mask = pa.array([h is not None for h in hits], pa.bool_())
-            batch = batch.filter(mask)
-            hits = [h for h in hits if h is not None]
+            hit = pos >= 0
+            batch = batch.filter(pa.array(hit, pa.bool_()))
+            pos = pos[hit]
         out = batch
-        for j, c in enumerate(cols):
-            vals = [h[j] if h is not None else None for h in hits]
-            out = out.append_column(c, pa.array(vals, out_types[c]))
+        take_idx = pa.array(
+            np.where(pos >= 0, pos, np.zeros_like(pos)), pa.int64()
+        )
+        miss = pa.array(pos < 0, pa.bool_())
+        for c in cols:
+            vals = data[c].take(take_idx)
+            if how != "inner":
+                vals = pc.if_else(miss, pa.scalar(None, vals.type), vals)
+            out = out.append_column(c, vals)
         return out
 
     return ds.map_batches(probe, batch_format="pyarrow")
@@ -116,6 +124,44 @@ def hash_bucket_agg(
     return bucketed.groupby("_bucket").map_groups(
         reduce_bucket, batch_format="pandas"
     )
+
+
+def semi_join(
+    large: Dataset,
+    keys: Dataset,
+    *,
+    on: str,
+    right_on: str | None = None,
+    max_broadcast: int = 100_000,
+    num_partitions: int = 16,
+) -> Dataset:
+    """Semi-join where the key side is itself a Dataset, with a size
+    guard: a small key side (dim-table filters) is collected once and
+    broadcast (``semi_filter``); above ``max_broadcast`` keys the path
+    switches to a distributed hash join against the DISTINCT key
+    column — never a corpus-proportional ``take_all()`` to the driver
+    (the round-1 seed-set pattern flagged in review)."""
+    from ray.data.aggregate import Count
+
+    right_on = right_on or on
+    keys = keys.select_columns([right_on]).materialize()
+    if keys.count() <= max_broadcast:
+        vals = [r[right_on] for r in keys.take_all()]
+        return semi_filter(large, vals, col=on)
+    uniq = (
+        keys.groupby(right_on)
+        .aggregate(Count(alias_name="_n"))
+        .select_columns([right_on])
+    )
+    joined = hash_join(
+        large, uniq, on=on, right_on=right_on, num_partitions=num_partitions
+    )
+
+    def drop_key(batch: pa.Table) -> pa.Table:
+        extra = [c for c in batch.column_names if c == right_on and c != on]
+        return batch.drop_columns(extra) if extra else batch
+
+    return joined.map_batches(drop_key, batch_format="pyarrow")
 
 
 def hash_join(

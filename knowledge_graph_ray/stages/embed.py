@@ -90,3 +90,55 @@ class EmbedActor:
             pa.array(vecs.ravel(), pa.float32()), self.dim
         )
         return batch.append_column("embedding", col)
+
+
+class ModelEmbedActor(EmbedActor):
+    """Integration point for a REAL encoder (the reference's Danish
+    BERT, bert_embed.py:67-91): same row/column contract as
+    ``EmbedActor``, but the model comes from a zero-arg
+    ``model_loader`` called ONCE per actor in ``__init__`` — e.g.
+    ``lambda: SentenceTransformer("...").half().cuda()`` — and each
+    text is truncated to ``max_tokens`` tokens before encoding (the
+    reference truncates at 511 wordpieces, bert_embed.py:74-76; pass a
+    ``tokenize`` callable to truncate in the model's own token space,
+    default whitespace-ish \\w+|non-space runs).
+
+    The loader must return an object with
+    ``encode(list[str]) -> np.ndarray`` of shape (n, dim). Deploy on
+    GPUs via ``ds.map_batches(ModelEmbedActor, concurrency=N,
+    batch_size=B, num_gpus=1, fn_constructor_kwargs={"model_loader":
+    load})`` — ``num_gpus`` pins each actor to a device; batch_size is
+    the inference micro-batch.
+    """
+
+    def __init__(
+        self,
+        model_loader,
+        dim: int = DEFAULT_DIM,
+        text_col: str = "text",
+        max_tokens: int = 511,
+        tokenize=None,
+    ):
+        self.model = model_loader()  # once per actor (GPU init, weights)
+        self.dim = dim
+        self.text_col = text_col
+        self.max_tokens = max_tokens
+        self.tokenize = tokenize or (lambda t: _TOKEN_RE.findall(t or ""))
+
+    def _truncate(self, text: str) -> str:
+        toks = self.tokenize(text or "")
+        if len(toks) <= self.max_tokens:
+            return text or ""
+        return " ".join(toks[: self.max_tokens])
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = [self._truncate(t) for t in batch.column(self.text_col).to_pylist()]
+        vecs = np.asarray(self.model.encode(texts), dtype=np.float32)
+        if vecs.shape != (len(texts), self.dim):
+            raise ValueError(
+                f"model returned {vecs.shape}, expected ({len(texts)}, {self.dim})"
+            )
+        col = pa.FixedSizeListArray.from_arrays(
+            pa.array(vecs.ravel(), pa.float32()), self.dim
+        )
+        return batch.append_column("embedding", col)

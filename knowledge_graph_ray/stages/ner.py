@@ -98,3 +98,27 @@ class GazetteerNER:
                 "end": pa.array(o_end, pa.int32()),
             }
         )
+
+
+class ModelNER(GazetteerNER):
+    """Integration point for a REAL tagger (the reference's flair
+    SequenceTagger, extract_entities.py:16,29-50): same mentions
+    schema as GazetteerNER, model loaded ONCE per actor from a
+    zero-arg ``model_loader`` — e.g.
+    ``lambda: SequenceTagger.load("flair/ner-danish")``. The loader's
+    object must expose ``predict(list[str]) ->
+    list[list[(surface, label, start, end)]]`` (one span list per
+    text). Deploy on GPUs via ``map_batches(ModelNER, concurrency=N,
+    num_gpus=1, fn_constructor_kwargs={"model_loader": load})``.
+    """
+
+    def __init__(self, model_loader):
+        super().__init__(gazetteer=None, locations=None, generic=False)
+        self.model = model_loader()  # once per actor
+
+    def _tag_text(self, text: str) -> list[tuple[str, str, int, int]]:
+        spans = self.model.predict([text])[0]
+        return sorted(
+            ((surf, lab, int(s), int(e)) for surf, lab, s, e in spans),
+            key=lambda t: t[2],
+        )

@@ -77,7 +77,10 @@ def test_alias_map_assembly_g5():
     assert (1000, synth.person_name(0)) in pairs
 
 
-def test_pdf_sniff_and_quarantine():
+def test_pdf_sniff_and_dispatch():
+    # round 2: the PDF path is a real extractor (functions/pdf.py) —
+    # unreadable PDFs yield empty text without raising; readable ones
+    # extract (full coverage in tests/test_pdf.py)
     assert sniff_kind(b"%PDF-1.4 rest") == "pdf"
     assert sniff_kind(b"<html>") == "html"
     batch = pa.table(
@@ -87,10 +90,10 @@ def test_pdf_sniff_and_quarantine():
         }
     )
     out = extract_batch(batch)
-    errs = out.column("error").to_pylist()
-    assert errs[0] and "NotImplementedError" in errs[0]
-    assert errs[1] is None
-    assert out.column("text").to_pylist()[1] == "fine text here"
+    assert out.column("error").to_pylist() == [None, None]
+    texts = out.column("text").to_pylist()
+    assert texts[0] == ""
+    assert texts[1] == "fine text here"
 
 
 def test_write_turtle_partitioned(tmp_path, ray_session):

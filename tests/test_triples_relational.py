@@ -150,3 +150,27 @@ def test_stage_builder_chain(ray_session):
         ],
     )
     assert ds.count() > 8
+
+
+def test_semi_join_broadcast_and_distributed_agree(ray_session):
+    large = rd.from_arrow(
+        pa.table(
+            {
+                "o_key": pa.array([i % 20 for i in range(200)], pa.int64()),
+                "v": pa.array(range(200), pa.int64()),
+            }
+        )
+    )
+    keys = rd.from_arrow(
+        # duplicated keys: the distributed path must dedup before the
+        # inner join or it would multiply matching rows
+        pa.table({"c_key": pa.array([2, 2, 5, 7, 7, 7], pa.int64())})
+    )
+    bc = R.semi_join(large, keys, on="o_key", right_on="c_key").take_all()
+    dist = R.semi_join(
+        large, keys, on="o_key", right_on="c_key", max_broadcast=0
+    ).take_all()
+    canon = lambda rows: sorted((r["o_key"], r["v"]) for r in rows)
+    assert canon(bc) == canon(dist)
+    assert len(bc) == 30  # 3 distinct keys × 10 rows each
+    assert all(set(r) == {"o_key", "v"} for r in dist)
