@@ -175,14 +175,16 @@ class MinHasher:
             chunk_lens = lens[row_start:row_end]
             chunk_sh = all_sh[sh_start : sh_start + sh_count]
             if sh_count:
-                vals = (
-                    self.a[:, None] * chunk_sh[None, :] + self.b[:, None]
-                ) % MERSENNE
+                # one contiguous 1-D op per hash row: the obvious
+                # (n_hashes, S) broadcast is ~100x slower — numpy's
+                # uint64 ufuncs degrade badly on strided broadcast
+                # operands (measured 29 s vs 0.1 s at S=250k)
+                vals = np.empty((self.n_hashes, sh_count + 1), dtype=np.uint64)
                 # sentinel column: a trailing empty segment must not
                 # index out of bounds (it is overwritten below anyway)
-                vals = np.concatenate(
-                    [vals, np.full((self.n_hashes, 1), MERSENNE, np.uint64)], axis=1
-                )
+                vals[:, -1] = MERSENNE
+                for j in range(self.n_hashes):
+                    vals[j, :-1] = (self.a[j] * chunk_sh + self.b[j]) % MERSENNE
                 offsets = np.zeros(len(chunk_lens), dtype=np.int64)
                 np.cumsum(chunk_lens[:-1], out=offsets[1:])
                 mins = np.minimum.reduceat(vals, offsets, axis=1).T
