@@ -25,18 +25,40 @@ def sessionize(
 ) -> Dataset:
     """events → one row per (user, session): session_idx (0-based, by
     start time), n_events, start/end timestamps (rendered as strings
-    for engine-portable comparison), total value in milli-units."""
+    for engine-portable comparison), total value in milli-units.
+
+    Execution: ONE int-keyed hash-bucket shuffle on user (each user
+    lands whole in one bucket), then a per-bucket kernel that
+    sessionizes ALL of the bucket's users in a single vectorized
+    sort + diff + groupby pass — Ray's ``map_groups`` (one pandas
+    frame per user) paid ~1 ms of per-group overhead on 10-row
+    frames, which dominated wall time."""
     gap = pd.Timedelta(minutes=gap_minutes)
 
-    def per_user(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values([ts_col]).reset_index(drop=True)
-        new_session = df[ts_col].diff() > gap
-        session_idx = new_session.cumsum().astype("int64")
-        g = df.groupby(session_idx)
+    empty = pd.DataFrame(
+        {
+            user_col: pd.Series([], dtype="int64"),
+            "session_idx": pd.Series([], dtype="int64"),
+            "n_events": pd.Series([], dtype="int64"),
+            "session_start": pd.Series([], dtype="str"),
+            "session_end": pd.Series([], dtype="str"),
+            "total_value_milli": pd.Series([], dtype="int64"),
+        }
+    )
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return empty.copy()
+        df = df.sort_values([user_col, ts_col], kind="mergesort").reset_index(
+            drop=True
+        )
+        same_user = df[user_col].eq(df[user_col].shift())
+        new_session = (~same_user) | (df[ts_col].diff() > gap)
+        sid = new_session.cumsum()
+        g = df.groupby(sid, sort=True)
         out = pd.DataFrame(
             {
-                user_col: df[user_col].iloc[0],
-                "session_idx": g.size().index,
+                user_col: g[user_col].first().values,
                 "n_events": g.size().values,
                 "session_start": g[ts_col].min().dt.strftime("%Y-%m-%d %H:%M:%S").values,
                 "session_end": g[ts_col].max().dt.strftime("%Y-%m-%d %H:%M:%S").values,
@@ -46,6 +68,22 @@ def sessionize(
                 .values,
             }
         )
-        return out
+        # sessions are emitted in (user, start-ts) order → 0-based
+        # per-user index by start time
+        out["session_idx"] = out.groupby(user_col, sort=False).cumcount().astype(
+            "int64"
+        )
+        return out[
+            [
+                user_col,
+                "session_idx",
+                "n_events",
+                "session_start",
+                "session_end",
+                "total_value_milli",
+            ]
+        ]
 
-    return events.groupby(user_col).map_groups(per_user, batch_format="pandas")
+    from knowledge_graph_ray.pipelines.relational import hash_bucket_agg
+
+    return hash_bucket_agg(events, [user_col], per_bucket, num_buckets=32)
