@@ -87,7 +87,13 @@ def _collision_only(banded: "Dataset", key: str, max_broadcast: int = 2_000_000)
     unfiltered dataset if the collision set itself is huge."""
     import ray
 
-    counts = banded.groupby(key).aggregate(Count(alias_name="_n"))
+    # counts pass shuffles ONLY the 8-byte key column — never the
+    # signature lists riding on the full banded rows (measured 4x the
+    # shuffle volume at sf0.1); banded re-executes for the filter pass,
+    # which at corpus scale beats materializing bands x corpus rows
+    counts = banded.select_columns([key]).groupby(key).aggregate(
+        Count(alias_name="_n")
+    )
     hot_rows = counts.filter(expr="_n >= 2").select_columns([key]).take_all()
     if len(hot_rows) > max_broadcast:
         return banded
