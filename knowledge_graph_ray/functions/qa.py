@@ -116,3 +116,31 @@ def parse_relevance_scores(text: str) -> list[float]:
 def parse_mcq_indices(text: str) -> list[int]:
     """M16: chosen option indices from model output."""
     return [int(s) for s in _MCQ_INDEX.findall(text)]
+
+
+def write_combined_doc(
+    ds,
+    path: str,
+    *,
+    key: str = "doc_id",
+    text_col: str = "text",
+    header_fmt: str = "################## Spørgsmål {key} ##################",
+) -> str:
+    """S12 combined MC doc writer (reference create_MC_doc.py:4-32):
+    records sorted numerically by ``key``, each prefixed with a
+    header line and a blank line, separated by one newline.
+
+    The sort is distributed (``ds.sort``); only the final
+    concatenation streams through the driver via ``iter_batches`` —
+    a single human-readable output file is a funnel by definition.
+    For corpus-scale graph output use the partitioned turtle sink
+    (functions/triples.write_turtle) instead."""
+    ordered = ds.select_columns([key, text_col]).sort(key)
+    with open(path, "w", encoding="utf-8") as f:
+        for batch in ordered.iter_batches(batch_format="pyarrow"):
+            keys = batch.column(key).to_pylist()
+            texts = batch.column(text_col).to_pylist()
+            for k, t in zip(keys, texts):
+                f.write(header_fmt.format(key=k) + "\n\n")
+                f.write((t or "") + "\n")
+    return path

@@ -1021,6 +1021,87 @@ def q_corpus_paragraphs(sf_dir: str) -> Dataset:
     return out.drop_columns(["embedding"])
 
 
+def q_events_asof_clicks(sf_dir: str) -> Dataset:
+    """As-of join: each purchase event matched to the same user's most
+    recent click at-or-before it (``relational.asof_join`` — tagged
+    union, one hash-bucket shuffle on user, vectorized per-bucket
+    ``merge_asof``). Right side pre-deduped per (user, ts) by max id
+    so ties are deterministic on both engines."""
+    ev = _read(sf_dir, "events")
+    purchases = ev.filter(expr="event_type == 'purchase'").select_columns(
+        ["event_id", "user_id", "ts"]
+    )
+    clicks = ev.filter(expr="event_type == 'click'").select_columns(
+        ["event_id", "user_id", "ts"]
+    )
+
+    def ren_combine(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.rename(columns={"event_id": "click_id", "ts": "click_ts"})
+        return df.groupby(["user_id", "click_ts"], as_index=False, sort=False).agg(
+            click_id=("click_id", "max")
+        )
+
+    clicks = R.hash_bucket_agg(
+        clicks.map_batches(ren_combine, batch_format="pandas", batch_size=None),
+        ["user_id", "click_ts"],
+        lambda df: df.groupby(["user_id", "click_ts"], as_index=False, sort=False).agg(
+            click_id=("click_id", "max")
+        ),
+        num_buckets=8,
+    )
+    joined = R.asof_join(
+        purchases, clicks, on="ts", by="user_id", right_on="click_ts"
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        # integer ms-boundary count (SQL datediff semantics): floor
+        # both operands to ms, then exact integer floordiv — float
+        # total_seconds() loses sub-ms precision and drifts by one
+        gap = (
+            df["ts"].dt.floor("ms") - df["click_ts"].dt.floor("ms")
+        ) // pd.Timedelta(milliseconds=1)
+        out = pd.DataFrame(
+            {
+                "user_id": df["user_id"].astype("int64"),
+                "event_id": df["event_id"].astype("int64"),
+                "click_id": df["click_id"].astype("Int64"),
+                "gap_ms": gap.astype("Int64"),
+            }
+        )
+        # emit Arrow so nullable ints surface as real nulls (None),
+        # matching the oracle's rendering in the driver's value hash
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return joined.map_batches(finish, batch_format="pandas", batch_size=None)
+
+
+SQL_EVENTS_ASOF_CLICKS = """
+WITH clicks AS (
+  SELECT user_id, ts AS click_ts, MAX(event_id) AS click_id
+  FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+),
+purchases AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+)
+SELECT p.user_id, p.event_id, c.click_id,
+       CAST(datediff('millisecond', c.click_ts, p.ts) AS BIGINT) AS gap_ms
+FROM purchases p ASOF LEFT JOIN clicks c
+  ON p.user_id = c.user_id AND p.ts >= c.click_ts
+"""
+
+
+def q_docs_wordpiece(sf_dir: str) -> Dataset:
+    """M7 WordPiece projection (reference tokenize_paragraphs.py:14-31):
+    corpus-trained vocab (deterministic sample) + HF-exact greedy
+    longest-match tokenize in an actor pool. No SQL twin — the vocab
+    is an iterative merge training, not expressible relationally."""
+    from knowledge_graph_ray.stages.tokenize import tokenize_paragraphs
+
+    ds = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    out = tokenize_paragraphs(ds, vocab_size=2000, sample_rows=512)
+    return out.select_columns(["doc_id", "n_tokens_wp"])
+
+
 def q_udf_rephrase(sf_dir: str) -> Dataset:
     """§2.9 LLM-shaped stage: retrying quarantining UDF actor pool."""
     from knowledge_graph_ray.stages.udf import RetryingUDFActor
@@ -1090,12 +1171,14 @@ QUERIES = {
     "embedding_dup_pairs": q_embedding_dup_pairs,
     "docs_langid": q_docs_langid,
     "docs_fingerprint": q_docs_fingerprint,
+    "docs_wordpiece": q_docs_wordpiece,
     "knn_lsh": q_knn_lsh,
     "knn_ivf": q_knn_ivf,
     "mention_canonicalization": q_mention_canonicalization,
     "docs_sample_md5": q_docs_sample_md5,
     "events_value_stats": q_events_value_stats,
     "events_sessions": q_events_sessions,
+    "events_asof_clicks": q_events_asof_clicks,
     "search_ranked_contexts": q_search_ranked_contexts,
     "qa_pairs_extract": q_qa_pairs_extract,
     "alias_map_assembly": q_alias_map_assembly,
@@ -1125,6 +1208,7 @@ ORACLE_SQL = {
     "docs_sample_md5": SQL_DOCS_SAMPLE_MD5,
     "events_value_stats": SQL_EVENTS_VALUE_STATS,
     "events_sessions": SQL_EVENTS_SESSIONS,
+    "events_asof_clicks": SQL_EVENTS_ASOF_CLICKS,
     "docs_langid": _langid_oracle_sql(),
     # generated twins (constants shared with the engine — cannot drift)
     "docs_minhash_pairs": _minhash_sql(threshold=0.5),

@@ -164,6 +164,124 @@ def semi_join(
     return joined.map_batches(drop_key, batch_format="pyarrow")
 
 
+def asof_join(
+    left: Dataset,
+    right: Dataset,
+    *,
+    on: str,
+    by: str,
+    right_on: str | None = None,
+    right_by: str | None = None,
+    direction: str = "backward",
+    num_buckets: int = 32,
+) -> Dataset:
+    """Distributed as-of join: each left row gets the nearest right
+    row at-or-before (``backward``) / at-or-after (``forward``) its
+    ``on`` value, matched within the same ``by`` key.
+
+    Execution (documented partitioning assumption): both sides are
+    tagged and bucketed by a hash of the ``by`` key — every key's rows
+    from BOTH sides land whole in one bucket — then each bucket runs
+    ONE vectorized ``pandas.merge_asof`` over its sorted slice. One
+    all-to-all of left+right; no global sort, no driver collection.
+    Right-side non-key columns must not collide with left column
+    names (rename upstream). A hot ``by`` key bounds one bucket's
+    work; pre-aggregate the right side upstream if it is dense."""
+    import pandas as pd
+
+    right_on = right_on or on
+    right_by = right_by or by
+    l_schema, r_schema = left.schema(), right.schema()
+    left_names = list(l_schema.names)
+    r_names = list(r_schema.names)
+    r_types = dict(zip(r_names, r_schema.types))
+    r_keep = [c for c in r_names if c != right_by]
+    clash = set(r_keep) & set(left_names)
+    if clash:
+        raise ValueError(f"right columns collide with left: {sorted(clash)}")
+    # one superset Arrow schema (typed nulls for the absent side) so
+    # the union is schema-identical — pandas padding would widen int64
+    # to float64 on one side only and break the union
+    superset = pa.schema(
+        [(n, t) for n, t in zip(l_schema.names, l_schema.types)]
+        + [(c, r_types[c]) for c in r_keep]
+        + [("__side", pa.int8())]
+    )
+
+    def pad(tbl: pa.Table, side: int, rename: dict) -> pa.Table:
+        tbl = tbl.rename_columns([rename.get(c, c) for c in tbl.column_names])
+        cols = []
+        for field in superset:
+            if field.name == "__side":
+                cols.append(pa.array([side] * len(tbl), pa.int8()))
+            elif field.name in tbl.column_names:
+                cols.append(tbl.column(field.name).cast(field.type))
+            else:
+                cols.append(pa.nulls(len(tbl), field.type))
+        return pa.Table.from_arrays(cols, schema=superset)
+
+    left_t = left.map_batches(
+        lambda t: pad(t, 0, {}), batch_format="pyarrow", batch_size=None
+    )
+    right_t = right.map_batches(
+        lambda t: pad(t, 1, {right_by: by}), batch_format="pyarrow", batch_size=None
+    )
+    both = left_t.union(right_t)
+
+    out_cols = left_names + r_keep
+
+    def _nullable_dtype(t: pa.DataType):
+        if pa.types.is_integer(t):
+            return "Int64"
+        if pa.types.is_floating(t):
+            return "Float64"
+        if pa.types.is_timestamp(t):
+            return "datetime64[ns]"
+        if pa.types.is_boolean(t):
+            return "boolean"
+        return "object"
+
+    # pandas NULLABLE dtypes for the right columns: unmatched left
+    # rows hold nulls, and every bucket (matched, unmatched, empty-R)
+    # must emit the SAME Arrow schema — merge_asof's float64-NaN
+    # widening would make int columns double in some blocks only
+    r_pd_dtypes = {c: _nullable_dtype(r_types[c]) for c in r_keep}
+
+    def bucket_kernel(df: pd.DataFrame) -> pd.DataFrame:
+        L = df[df["__side"] == 0][left_names]
+        R = df[df["__side"] == 1][[by] + r_keep]
+        if not len(L):
+            empty = {c: L[c] for c in left_names}
+            empty.update(
+                {c: pd.Series([], dtype=r_pd_dtypes[c]) for c in r_keep}
+            )
+            return pd.DataFrame(empty)
+        L = L.sort_values(on, kind="mergesort").reset_index(drop=True)
+        if len(R):
+            R = R.sort_values(right_on, kind="mergesort").reset_index(drop=True)
+            out = pd.merge_asof(
+                L,
+                R,
+                left_on=on,
+                right_on=right_on,
+                by=by,
+                direction=direction,
+                suffixes=("", "__r"),
+            )
+        else:
+            out = L.copy()
+            for c in r_keep:
+                out[c] = pd.Series(
+                    [None] * len(L), dtype=r_pd_dtypes[c], index=out.index
+                )
+        for c in r_keep:
+            if str(out[c].dtype) != r_pd_dtypes[c]:
+                out[c] = out[c].astype(r_pd_dtypes[c])
+        return out[out_cols]
+
+    return hash_bucket_agg(both, [by], bucket_kernel, num_buckets=num_buckets)
+
+
 def hash_join(
     left: Dataset,
     right: Dataset,

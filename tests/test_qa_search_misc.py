@@ -134,3 +134,25 @@ def test_search_pipeline_finds_relevant_doc(ray_session):
     assert "Orga" in rows[0]["context"]
     # D3: contexts deduped
     assert len({r["context"] for r in rows}) == len(rows)
+
+
+def test_write_combined_doc_s12(tmp_path, ray_session):
+    import ray.data as rd
+    from knowledge_graph_ray.functions.qa import write_combined_doc
+
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([10, 2, 1], pa.int64()),
+                "text": pa.array(["ten", "two", "one"], pa.string()),
+            }
+        )
+    ).repartition(3)
+    out = write_combined_doc(ds, str(tmp_path / "combined.txt"))
+    content = open(out, encoding="utf-8").read()
+    # numerically sorted, reference header + blank line + content + \n
+    assert content == (
+        "################## Spørgsmål 1 ##################\n\none\n"
+        "################## Spørgsmål 2 ##################\n\ntwo\n"
+        "################## Spørgsmål 10 ##################\n\nten\n"
+    )

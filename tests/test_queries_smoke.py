@@ -20,6 +20,7 @@ ROWS_ONLY = [
     "media_features",
     "semantic_paragraphs",
     "pdf_corpus_extract",
+    "docs_wordpiece",
 ]
 
 MUST_HAVE_ROWS = {"kg_flagship", "mention_canonicalization",
