@@ -1090,6 +1090,67 @@ FROM purchases p ASOF LEFT JOIN clicks c
 """
 
 
+def q_events_range_clicks(sf_dir: str) -> Dataset:
+    """Aggregated range join: clicks of the same user in the 30 minutes
+    before each purchase (exclusive lower, inclusive upper), count +
+    value sum in milli-units (``relational.range_join_count`` — one
+    hash-bucket shuffle, per-bucket cumulative searchsorted; the pair
+    set is never materialized)."""
+    ev = _read(sf_dir, "events")
+    purchases = ev.filter(expr="event_type == 'purchase'").select_columns(
+        ["event_id", "user_id", "ts"]
+    )
+    clicks = ev.filter(expr="event_type == 'click'").select_columns(
+        ["user_id", "ts", "value"]
+    )
+    out = R.range_join_count(
+        purchases,
+        clicks,
+        on="ts",
+        by="user_id",
+        lower=pd.Timedelta(minutes=-30),
+        upper=pd.Timedelta(0),
+        value_col="value",
+        count_alias="n_clicks_30m",
+        sum_alias="click_value",
+        num_buckets=8,
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": df["user_id"].astype("int64"),
+                "event_id": df["event_id"].astype("int64"),
+                "n_clicks_30m": df["n_clicks_30m"].astype("int64"),
+                "click_value_milli": (df["click_value"] * 1000)
+                .round(0)
+                .astype("int64"),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pandas", batch_size=None)
+
+
+SQL_EVENTS_RANGE_CLICKS = """
+WITH purchases AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+),
+clicks AS (
+  SELECT user_id, ts, value FROM events WHERE event_type = 'click'
+)
+SELECT p.user_id, p.event_id,
+       COUNT(c.ts) AS n_clicks_30m,
+       CAST(ROUND(COALESCE(SUM(c.value), 0) * 1000, 0) AS BIGINT)
+         AS click_value_milli
+FROM purchases p
+LEFT JOIN clicks c
+  ON c.user_id = p.user_id
+ AND c.ts > p.ts - INTERVAL 30 MINUTE
+ AND c.ts <= p.ts
+GROUP BY p.user_id, p.event_id
+"""
+
+
 def q_docs_wordpiece(sf_dir: str) -> Dataset:
     """M7 WordPiece projection (reference tokenize_paragraphs.py:14-31):
     corpus-trained vocab (deterministic sample) + HF-exact greedy
@@ -1179,6 +1240,7 @@ QUERIES = {
     "events_value_stats": q_events_value_stats,
     "events_sessions": q_events_sessions,
     "events_asof_clicks": q_events_asof_clicks,
+    "events_range_clicks": q_events_range_clicks,
     "search_ranked_contexts": q_search_ranked_contexts,
     "qa_pairs_extract": q_qa_pairs_extract,
     "alias_map_assembly": q_alias_map_assembly,
@@ -1209,6 +1271,7 @@ ORACLE_SQL = {
     "events_value_stats": SQL_EVENTS_VALUE_STATS,
     "events_sessions": SQL_EVENTS_SESSIONS,
     "events_asof_clicks": SQL_EVENTS_ASOF_CLICKS,
+    "events_range_clicks": SQL_EVENTS_RANGE_CLICKS,
     "docs_langid": _langid_oracle_sql(),
     # generated twins (constants shared with the engine — cannot drift)
     "docs_minhash_pairs": _minhash_sql(threshold=0.5),

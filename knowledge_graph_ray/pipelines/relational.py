@@ -282,6 +282,124 @@ def asof_join(
     return hash_bucket_agg(both, [by], bucket_kernel, num_buckets=num_buckets)
 
 
+def range_join_count(
+    left: Dataset,
+    right: Dataset,
+    *,
+    on: str,
+    by: str,
+    right_on: str | None = None,
+    right_by: str | None = None,
+    lower,
+    upper,
+    value_col: str | None = None,
+    count_alias: str = "n_in_range",
+    sum_alias: str = "sum_in_range",
+    num_buckets: int = 32,
+) -> Dataset:
+    """Aggregated range join: for each left row, count (and optionally
+    sum ``value_col`` over) the right rows of the same ``by`` key whose
+    ``right_on`` lies in ``(on + lower, on + upper]``.
+
+    Execution: same co-location scheme as ``asof_join`` (tagged union,
+    ONE hash-bucket shuffle on the by-key), then a per-bucket
+    vectorized kernel — right rows are sorted per key and reduced to
+    cumulative (count, sum) arrays; each left row's window aggregate
+    is the difference of two ``searchsorted`` lookups. Never
+    materializes the joined pairs, so a dense window cannot explode
+    the output (the aggregate form is the scale-safe way to range-join
+    at corpus size; emit pairs only behind a cap if you need them)."""
+    import pandas as pd
+
+    right_on = right_on or on
+    right_by = right_by or by
+    l_schema = left.schema()
+    left_names = list(l_schema.names)
+
+    r_cols = [right_by, right_on] + ([value_col] if value_col else [])
+    right = right.select_columns(list(dict.fromkeys(r_cols)))
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        return t.append_column("__side", pa.array([0] * len(t), pa.int8()))
+
+    # right side reduced to (by, on, value) with left-compatible names
+    def tag_right(t: pa.Table) -> pa.Table:
+        cols = {
+            by: t.column(right_by),
+            "__r_on": t.column(right_on),
+        }
+        if value_col:
+            cols["__r_val"] = t.column(value_col).cast(pa.float64())
+        out = pa.table(cols)
+        return out.append_column("__side", pa.array([1] * len(t), pa.int8()))
+
+    superset_fields = [(n, t) for n, t in zip(l_schema.names, l_schema.types)]
+    superset_fields.append(("__r_on", dict(zip(l_schema.names, l_schema.types))[on]))
+    if value_col:
+        superset_fields.append(("__r_val", pa.float64()))
+    superset_fields.append(("__side", pa.int8()))
+    superset = pa.schema(superset_fields)
+
+    def pad(t: pa.Table) -> pa.Table:
+        cols = []
+        for field in superset:
+            if field.name in t.column_names:
+                cols.append(t.column(field.name).cast(field.type))
+            else:
+                cols.append(pa.nulls(len(t), field.type))
+        return pa.Table.from_arrays(cols, schema=superset)
+
+    both = left.map_batches(
+        lambda t: pad(tag_left(t)), batch_format="pyarrow", batch_size=None
+    ).union(
+        right.map_batches(
+            lambda t: pad(tag_right(t)), batch_format="pyarrow", batch_size=None
+        )
+    )
+
+    def bucket_kernel(df: pd.DataFrame) -> pd.DataFrame:
+        L = df[df["__side"] == 0][left_names]
+        out_empty = L.iloc[0:0].assign(
+            **(
+                {count_alias: pd.Series([], dtype="int64")}
+                | ({sum_alias: pd.Series([], dtype="float64")} if value_col else {})
+            )
+        )
+        if not len(L):
+            return out_empty
+        R = df[df["__side"] == 1]
+        counts = np.zeros(len(L), dtype=np.int64)
+        sums = np.zeros(len(L), dtype=np.float64) if value_col else None
+        L = L.reset_index(drop=True)
+        if len(R):
+            r_groups = dict(iter(R.groupby(by, sort=False)))
+            for key, li in L.groupby(by, sort=False).indices.items():
+                r = r_groups.get(key)
+                if r is None or not len(r):
+                    continue
+                r = r.sort_values("__r_on", kind="mergesort")
+                r_on = r["__r_on"].to_numpy()
+                lo = np.searchsorted(
+                    r_on, (L[on].iloc[li] + lower).to_numpy(), side="right"
+                )
+                hi = np.searchsorted(
+                    r_on, (L[on].iloc[li] + upper).to_numpy(), side="right"
+                )
+                counts[li] = hi - lo
+                if value_col:
+                    cs = np.concatenate(
+                        [[0.0], np.cumsum(r["__r_val"].to_numpy())]
+                    )
+                    sums[li] = cs[hi] - cs[lo]
+        out = L.copy()
+        out[count_alias] = counts
+        if value_col:
+            out[sum_alias] = sums
+        return out
+
+    return hash_bucket_agg(both, [by], bucket_kernel, num_buckets=num_buckets)
+
+
 def hash_join(
     left: Dataset,
     right: Dataset,

@@ -116,3 +116,71 @@ def test_asof_rejects_column_clash(ray_session):
             right_on="click_ts",
             right_by="uid",
         )
+
+
+def test_range_join_count_window_semantics(ray_session):
+    left = pa.table(
+        {
+            "event_id": pa.array([1, 2], pa.int64()),
+            "user_id": pa.array([10, 10], pa.int64()),
+            "ts": pa.array([_ts(5), _ts(9)], pa.timestamp("us")),
+        }
+    )
+    right = pa.table(
+        {
+            "user_id": pa.array([10, 10, 10, 10], pa.int64()),
+            "ts": pa.array(
+                [_ts(2), _ts(4), _ts(5), _ts(8)], pa.timestamp("us")
+            ),
+            "value": pa.array([1.0, 2.0, 4.0, 8.0], pa.float64()),
+        }
+    )
+    import pandas as pd
+
+    out = R.range_join_count(
+        rd.from_arrow(left),
+        rd.from_arrow(right),
+        on="ts",
+        by="user_id",
+        lower=pd.Timedelta(days=-3),
+        upper=pd.Timedelta(0),
+        value_col="value",
+        num_buckets=2,
+    )
+    rows = {r["event_id"]: r for r in out.take_all()}
+    # e1@d5: window (d2, d5] -> clicks d4, d5 (lower exclusive drops d2)
+    assert rows[1]["n_in_range"] == 2 and rows[1]["sum_in_range"] == 6.0
+    # e2@d9: window (d6, d9] -> click d8 only
+    assert rows[2]["n_in_range"] == 1 and rows[2]["sum_in_range"] == 8.0
+
+
+def test_range_join_count_no_right_rows(ray_session):
+    left = pa.table(
+        {
+            "event_id": pa.array([1], pa.int64()),
+            "user_id": pa.array([99], pa.int64()),
+            "ts": pa.array([_ts(5)], pa.timestamp("us")),
+        }
+    )
+    right = pa.table(
+        {
+            "user_id": pa.array([], pa.int64()),
+            "ts": pa.array([], pa.timestamp("us")),
+            "value": pa.array([], pa.float64()),
+        }
+    )
+    import pandas as pd
+
+    out = R.range_join_count(
+        rd.from_arrow(left),
+        rd.from_arrow(right),
+        on="ts",
+        by="user_id",
+        lower=pd.Timedelta(days=-1),
+        upper=pd.Timedelta(0),
+        value_col="value",
+        num_buckets=2,
+    )
+    rows = out.take_all()
+    assert len(rows) == 1
+    assert rows[0]["n_in_range"] == 0 and rows[0]["sum_in_range"] == 0.0
