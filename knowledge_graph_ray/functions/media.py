@@ -1,0 +1,150 @@
+"""Real byte-level media codecs for the multimodal stages — the
+formats a stdlib+numpy sandbox CAN genuinely decode:
+
+- BMP (uncompressed 24-bit, BITMAPINFOHEADER): full header parse +
+  pixel-array decode to an (H, W, 3) uint8 RGB array, and the inverse
+  encoder (bottom-up rows, 4-byte row padding — the published format).
+- WAV (RIFF PCM 16-bit): chunk walk via the stdlib ``wave`` module to
+  (sample_rate, (n, channels) int16 samples), plus the encoder.
+
+PNG/JPEG/MP4 need compression codecs that are NOT in this container —
+those payloads keep the declared stub path in stages/multimodal.
+
+Feature extraction is real signal processing (numpy only): audio →
+RMS / zero-crossing rate / spectral centroid / 4 FFT band energies;
+image → per-channel mean+std and an 8-bin luminance histogram.
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+import wave
+
+import numpy as np
+
+# ------------------------------------------------------------------ BMP
+
+_BMP_HEADER = struct.Struct("<2sIHHI")  # signature, file size, res, offset
+_BMP_INFO = struct.Struct("<IiiHHIIiiII")
+
+
+def encode_bmp(img: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 RGB → uncompressed 24-bit BMP bytes."""
+    h, w, c = img.shape
+    if c != 3:
+        raise ValueError("24-bit BMP needs 3 channels")
+    row_size = (w * 3 + 3) & ~3
+    pixel_bytes = row_size * h
+    offset = _BMP_HEADER.size + _BMP_INFO.size
+    out = bytearray()
+    out += _BMP_HEADER.pack(b"BM", offset + pixel_bytes, 0, 0, offset)
+    out += _BMP_INFO.pack(_BMP_INFO.size, w, h, 1, 24, 0, pixel_bytes, 2835, 2835, 0, 0)
+    pad = b"\x00" * (row_size - w * 3)
+    # bottom-up rows, BGR byte order (the format spec)
+    for y in range(h - 1, -1, -1):
+        out += img[y, :, ::-1].tobytes() + pad
+    return bytes(out)
+
+
+def decode_bmp(payload: bytes) -> tuple[int, int, int, np.ndarray]:
+    """BMP bytes → (width, height, n_channels, (H, W, 3) uint8 RGB)."""
+    sig, _, _, _, offset = _BMP_HEADER.unpack_from(payload, 0)
+    if sig != b"BM":
+        raise ValueError("not a BMP payload")
+    (_, w, h, _, bpp, comp, *_rest) = _BMP_INFO.unpack_from(payload, _BMP_HEADER.size)
+    if bpp != 24 or comp != 0:
+        raise ValueError(f"only uncompressed 24-bit BMP supported (bpp={bpp})")
+    bottom_up = h > 0
+    h = abs(h)
+    row_size = (w * 3 + 3) & ~3
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=row_size * h, offset=offset
+    ).reshape(h, row_size)[:, : w * 3]
+    img = rows.reshape(h, w, 3)[:, :, ::-1]  # BGR → RGB
+    if bottom_up:
+        img = img[::-1]
+    return w, h, 3, np.ascontiguousarray(img)
+
+
+def image_features(img: np.ndarray, dim: int = 32) -> np.ndarray:
+    """Real image statistics → unit-norm float32 vector of ``dim``:
+    per-channel mean/std (6), 8-bin luminance histogram, aspect ratio,
+    zero-padded."""
+    f = np.zeros(dim, dtype=np.float32)
+    x = img.astype(np.float32) / 255.0
+    f[0:3] = x.mean(axis=(0, 1))
+    f[3:6] = x.std(axis=(0, 1))
+    lum = x @ np.array([0.299, 0.587, 0.114], dtype=np.float32)
+    hist, _ = np.histogram(lum, bins=8, range=(0.0, 1.0))
+    f[6:14] = hist / max(1, lum.size)
+    f[14] = img.shape[1] / max(1, img.shape[0])
+    n = np.linalg.norm(f)
+    return f / n if n else f
+
+
+# ------------------------------------------------------------------ WAV
+
+def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
+    """(n,) or (n, channels) int16 → RIFF/WAVE PCM bytes."""
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(samples.shape[1])
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(np.ascontiguousarray(samples, dtype="<i2").tobytes())
+    return buf.getvalue()
+
+
+def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
+    """RIFF/WAVE PCM bytes → (sample_rate, (n, channels) int16)."""
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        if w.getsampwidth() != 2:
+            raise ValueError("only 16-bit PCM supported")
+        rate = w.getframerate()
+        n = w.getnframes()
+        ch = w.getnchannels()
+        data = np.frombuffer(w.readframes(n), dtype="<i2").reshape(-1, ch)
+    return rate, data
+
+
+def audio_features(samples: np.ndarray, sample_rate: int, dim: int = 32) -> np.ndarray:
+    """Real DSP features → unit-norm float32 vector of ``dim``: RMS,
+    zero-crossing rate, spectral centroid (Hz, normalized by Nyquist),
+    4 octave-ish FFT band energy fractions, duration seconds."""
+    x = (samples.astype(np.float32) / 32768.0).mean(axis=1)  # mono mix
+    f = np.zeros(dim, dtype=np.float32)
+    if not len(x):
+        return f
+    f[0] = float(np.sqrt(np.mean(x**2)))
+    f[1] = float(np.mean(np.abs(np.diff(np.signbit(x).astype(np.int8))) > 0))
+    spec = np.abs(np.fft.rfft(x))
+    freqs = np.fft.rfftfreq(len(x), d=1.0 / sample_rate)
+    tot = spec.sum()
+    if tot > 0:
+        f[2] = float((spec * freqs).sum() / tot / (sample_rate / 2))
+        edges = [0, 250, 1000, 4000, sample_rate / 2]
+        for i in range(4):
+            band = (freqs >= edges[i]) & (freqs < edges[i + 1])
+            f[3 + i] = float(spec[band].sum() / tot)
+    f[7] = len(x) / sample_rate
+    n = np.linalg.norm(f)
+    return f / n if n else f
+
+
+def sniff_media(payload: bytes) -> str:
+    """Byte-signature dispatch: 'bmp' / 'wav' / 'png' / 'jpeg' /
+    'mp4' / 'unknown'."""
+    if payload[:2] == b"BM":
+        return "bmp"
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return "wav"
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return "png"
+    if payload[:3] == b"\xff\xd8\xff":
+        return "jpeg"
+    if payload[4:8] == b"ftyp":
+        return "mp4"
+    return "unknown"

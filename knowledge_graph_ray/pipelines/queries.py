@@ -1181,8 +1181,18 @@ def q_media_features(sf_dir: str) -> Dataset:
     from knowledge_graph_ray.stages import multimodal as mm
 
     ds = rd.from_arrow(mm.synth_media_table(48))
-    feats, _ = mm.media_pipeline(ds, concurrency=(1, 2), batch_size=8)
+    feats, _, _ = mm.media_pipeline(ds, concurrency=(1, 2), batch_size=8)
     return feats.drop_columns(["payload", "embedding"])
+
+
+def q_media_audio_features(sf_dir: str) -> Dataset:
+    """REAL audio path: RIFF/WAV PCM decode (stdlib byte format) +
+    DSP features (RMS/ZCR/spectral centroid) in an actor pool."""
+    from knowledge_graph_ray.stages import multimodal as mm
+
+    ds = rd.from_arrow(mm.synth_media_table(48))
+    _, _, audio = mm.media_pipeline(ds, concurrency=(1, 2), batch_size=8)
+    return audio.drop_columns(["payload", "embedding"])
 
 
 def q_pdf_corpus_extract(sf_dir: str) -> Dataset:
@@ -1247,6 +1257,7 @@ QUERIES = {
     "corpus_paragraphs": q_corpus_paragraphs,
     "udf_rephrase": q_udf_rephrase,
     "media_features": q_media_features,
+    "media_audio_features": q_media_audio_features,
     "semantic_paragraphs": q_semantic_paragraphs,
     "pdf_corpus_extract": q_pdf_corpus_extract,
 }

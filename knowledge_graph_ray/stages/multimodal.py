@@ -1,23 +1,23 @@
 """Multimodal columns: image/audio/video as opaque ``binary`` columns
 with typed metadata, processed by actor-pool ``map_batches`` stages.
 
-The decode libraries (PIL / torchaudio / ffmpeg) are NOT in this
-container, so the byte-level decoders are STUBBED: by default each
-actor uses a deterministic fake decoder (stable hash of the payload →
-plausible metadata/features), and ``strict=True`` raises
-``NotImplementedError`` at the decode call — while ALL the Ray-side
-plumbing is real and tested: schema handling, binary payload batches,
-once-per-actor model setup, small-batch sizing for wide rows, output
-layout.
-
-Swap ``_decode_image_real`` etc. with a real implementation and the
-stage works unchanged.
+Decode reality in this sandbox (no PIL / torchaudio / ffmpeg):
+- BMP images and RIFF/WAV PCM audio are decoded FOR REAL —
+  ``functions/media`` implements the published byte formats with
+  stdlib+numpy, and features are real signal statistics (RMS, ZCR,
+  spectral centroid, luminance histograms).
+- Compressed formats (PNG/JPEG/MP4) need codec libraries that are not
+  in the container: those payloads take the declared stub path —
+  deterministic fake metadata by default, ``strict=True`` raises
+  ``NotImplementedError`` at the decode call. The Ray-side plumbing
+  (schema, binary batches, once-per-actor setup, small-batch sizing,
+  frame-explode layout) is identical for both paths.
 
 Schema conventions:
   media(media_id:int64, kind:string in {image,audio,video},
         payload:binary, mime:string)
   → decoded  adds (width:int32, height:int32, n_channels:int32)   [image]
-             or (sample_rate:int32, n_samples:int64)              [audio]
+             or (sample_rate:int32, n_samples:int64, n_channels:int32) [audio]
   → features adds embedding: fixed_size_list<float32, dim>
   → frames   one row per sampled frame (video): (media_id, frame_idx,
              payload)
@@ -28,23 +28,43 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+from knowledge_graph_ray.functions import media as M
 from knowledge_graph_ray.functions.hashing import stable_digest
 
 FEATURE_DIM = 32
 
 
 def synth_media_table(n: int = 24, seed: int = 42) -> pa.Table:
-    """Deterministic fake media corpus (binary payloads)."""
+    """Deterministic media corpus with REAL bytes where decodable:
+    images are genuine 24-bit BMPs, audio rows are genuine 16-bit PCM
+    WAVs (sine + noise), video rows are mp4-signature stubs."""
     rng = np.random.default_rng(seed)
     kinds = ["image", "audio", "video"]
     ids, kind_col, payloads, mimes = [], [], [], []
     for i in range(n):
         k = kinds[i % 3]
-        size = int(rng.integers(256, 4096))
-        payloads.append(rng.integers(0, 256, size=size, dtype=np.uint8).tobytes())
+        if k == "image":
+            w, h = int(rng.integers(8, 33)), int(rng.integers(8, 33))
+            img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            payloads.append(M.encode_bmp(img))
+            mimes.append("image/bmp")
+        elif k == "audio":
+            rate = 8000
+            dur = int(rng.integers(400, 1600))
+            t = np.arange(dur, dtype=np.float32) / rate
+            freq = float(rng.integers(100, 1200))
+            x = 0.6 * np.sin(2 * np.pi * freq * t) + 0.1 * rng.standard_normal(dur)
+            payloads.append(
+                M.encode_wav((np.clip(x, -1, 1) * 32767).astype(np.int16), rate)
+            )
+            mimes.append("audio/wav")
+        else:
+            size = int(rng.integers(256, 4096))
+            body = rng.integers(0, 256, size=size, dtype=np.uint8).tobytes()
+            payloads.append(b"\x00\x00\x00\x18ftypmp42" + body)
+            mimes.append("video/mp4")
         ids.append(i)
         kind_col.append(k)
-        mimes.append({"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}[k])
     return pa.table(
         {
             "media_id": pa.array(ids, pa.int64()),
@@ -63,9 +83,9 @@ def _fake_image_meta(payload: bytes) -> tuple[int, int, int]:
 class ImageDecodeActor:
     """Actor stage: decode image payloads → (width, height, n_channels).
 
-    ``strict=True`` → NotImplementedError from the real decoder stub
-    (no imaging library in this environment); default uses the
-    deterministic fake so pipelines stay testable end-to-end.
+    BMP payloads decode for real (header + pixel array). Other image
+    formats: ``strict=True`` raises from the stub (no codec libs in
+    this environment); default falls back to the deterministic fake.
     Use SMALL ``batch_size`` (wide binary rows; SURVEY.md §7)."""
 
     def __init__(self, strict: bool = False):
@@ -73,11 +93,14 @@ class ImageDecodeActor:
 
     def _decode_image_real(self, payload: bytes):
         raise NotImplementedError(
-            "image decoding requires PIL/opencv — not available in this "
-            "container; plug a real decoder here"
+            "compressed image decoding requires PIL/opencv — not available "
+            "in this container; plug a real decoder here"
         )
 
     def decode(self, payload: bytes) -> tuple[int, int, int]:
+        if M.sniff_media(payload) == "bmp":
+            w, h, c, _ = M.decode_bmp(payload)
+            return (w, h, c)
         if self.strict:
             return self._decode_image_real(payload)
         return _fake_image_meta(payload)
@@ -92,10 +115,42 @@ class ImageDecodeActor:
         )
 
 
+class AudioDecodeActor:
+    """Actor stage: decode RIFF/WAV PCM payloads → (sample_rate,
+    n_samples, n_channels). Non-WAV audio: strict raises, default
+    emits fake metadata (declared stub path)."""
+
+    def __init__(self, strict: bool = False):
+        self.strict = strict
+
+    def decode(self, payload: bytes) -> tuple[int, int, int]:
+        if M.sniff_media(payload) == "wav":
+            rate, data = M.decode_wav(payload)
+            return (rate, data.shape[0], data.shape[1])
+        if self.strict:
+            raise NotImplementedError("non-WAV audio needs torchaudio/ffmpeg")
+        h = stable_digest(payload)
+        return (8000 + (h % 5) * 8000, 1000 + h % 100000, 1 + h % 2)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column("payload").to_pylist()
+        meta = [self.decode(p) for p in payloads]
+        out = batch.append_column(
+            "sample_rate", pa.array([m[0] for m in meta], pa.int32())
+        )
+        out = out.append_column(
+            "n_samples", pa.array([m[1] for m in meta], pa.int64())
+        )
+        return out.append_column(
+            "n_channels", pa.array([m[2] for m in meta], pa.int32())
+        )
+
+
 class MediaFeatureActor:
-    """Actor stage: payload → feature vector (deterministic fake
-    'embedding model'; dim configurable). Real model drops into
-    ``_embed_real``."""
+    """Actor stage: payload → feature vector. BMP/WAV payloads get
+    REAL features (image statistics / DSP); other formats fall back to
+    the deterministic hash fake (or raise under strict). A real
+    encoder model drops into ``_embed_real``."""
 
     def __init__(self, dim: int = FEATURE_DIM, strict: bool = False):
         self.dim = dim
@@ -105,6 +160,13 @@ class MediaFeatureActor:
         raise NotImplementedError("plug a real media encoder here")
 
     def embed(self, payload: bytes) -> np.ndarray:
+        kind = M.sniff_media(payload)
+        if kind == "bmp":
+            _, _, _, img = M.decode_bmp(payload)
+            return M.image_features(img, self.dim)
+        if kind == "wav":
+            rate, data = M.decode_wav(payload)
+            return M.audio_features(data, rate, self.dim)
         if self.strict:
             return self._embed_real(payload)
         rng = np.random.default_rng(stable_digest(payload))
@@ -153,8 +215,8 @@ class FrameSampleActor:
 
 
 def media_pipeline(ds, *, concurrency=2, batch_size: int = 8):
-    """images → decode → features; videos → frame-sample → features.
-    Small batch_size: payloads are wide binary rows."""
+    """images → decode → features; audio → decode → features; videos →
+    frame-sample. Small batch_size: payloads are wide binary rows."""
     images = ds.filter(expr="kind == 'image'").map_batches(
         ImageDecodeActor,
         concurrency=concurrency,
@@ -167,10 +229,22 @@ def media_pipeline(ds, *, concurrency=2, batch_size: int = 8):
         batch_size=batch_size,
         batch_format="pyarrow",
     )
+    audio = ds.filter(expr="kind == 'audio'").map_batches(
+        AudioDecodeActor,
+        concurrency=concurrency,
+        batch_size=batch_size,
+        batch_format="pyarrow",
+    )
+    audio_feats = audio.map_batches(
+        MediaFeatureActor,
+        concurrency=concurrency,
+        batch_size=batch_size,
+        batch_format="pyarrow",
+    )
     frames = ds.filter(expr="kind == 'video'").map_batches(
         FrameSampleActor,
         concurrency=concurrency,
         batch_size=batch_size,
         batch_format="pyarrow",
     )
-    return feats, frames
+    return feats, frames, audio_feats

@@ -27,16 +27,54 @@ def test_media_table_deterministic():
 
 def test_image_decode_plumbing(ray_session):
     ds = rd.from_arrow(mm.synth_media_table(24))
-    feats, frames = mm.media_pipeline(ds, concurrency=1, batch_size=4)
+    feats, frames, audio = mm.media_pipeline(ds, concurrency=1, batch_size=4)
     frows = feats.take_all()
     assert len(frows) == 8  # 24/3 images
     for r in frows:
-        assert r["width"] >= 64 and r["n_channels"] == 3
+        # REAL BMP decode: dims are the synth generator's true pixel dims
+        assert 8 <= r["width"] <= 32 and 8 <= r["height"] <= 32
+        assert r["n_channels"] == 3
         assert len(r["embedding"]) == mm.FEATURE_DIM
         assert abs(float(np.linalg.norm(r["embedding"])) - 1.0) < 1e-5
+    arows = audio.take_all()
+    assert len(arows) == 8
+    for r in arows:
+        # REAL WAV decode: generator writes 8 kHz mono PCM
+        assert r["sample_rate"] == 8000 and r["n_channels"] == 1
+        assert 400 <= r["n_samples"] <= 1600
     vrows = frames.take_all()
     assert len(vrows) == 8 * 4  # frames_per_video
     assert {r["frame_idx"] for r in vrows} == {0, 1, 2, 3}
+
+
+def test_media_codecs_roundtrip():
+    from knowledge_graph_ray.functions import media as M
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(13, 21, 3), dtype=np.uint8)
+    w, h, c, back = M.decode_bmp(M.encode_bmp(img))
+    assert (w, h, c) == (21, 13, 3)
+    assert (back == img).all()  # byte-exact pixel round-trip
+
+    x = (rng.standard_normal(1234) * 8000).astype(np.int16)
+    rate, data = M.decode_wav(M.encode_wav(x, 16000))
+    assert rate == 16000 and data.shape == (1234, 1)
+    assert (data[:, 0] == x).all()
+
+
+def test_audio_features_detect_tone():
+    from knowledge_graph_ray.functions import media as M
+
+    rate = 8000
+    t = np.arange(rate, dtype=np.float32) / rate
+    low = (np.sin(2 * np.pi * 150 * t) * 20000).astype(np.int16)[:, None]
+    high = (np.sin(2 * np.pi * 3000 * t) * 20000).astype(np.int16)[:, None]
+    f_low = M.audio_features(low, rate)
+    f_high = M.audio_features(high, rate)
+    # spectral centroid (idx 2) is ordered by tone frequency; band
+    # energies land in the right octave buckets (3..6)
+    assert f_low[2] < f_high[2]
+    assert f_low[3] > f_low[5] and f_high[5] > f_high[3]
 
 
 def test_strict_decode_raises():

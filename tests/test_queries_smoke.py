@@ -21,6 +21,7 @@ ROWS_ONLY = [
     "semantic_paragraphs",
     "pdf_corpus_extract",
     "docs_wordpiece",
+    "media_audio_features",
 ]
 
 MUST_HAVE_ROWS = {"kg_flagship", "mention_canonicalization",
