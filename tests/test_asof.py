@@ -184,3 +184,61 @@ def test_range_join_count_no_right_rows(ray_session):
     rows = out.take_all()
     assert len(rows) == 1
     assert rows[0]["n_in_range"] == 0 and rows[0]["sum_in_range"] == 0.0
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_asof_matches_bruteforce_random(ray_session, seed):
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(seed)
+    nl, nr = 120, 150
+    base = pd.Timestamp("2024-01-01")
+    L = pa.table(
+        {
+            "event_id": pa.array(range(nl), pa.int64()),
+            "user_id": pa.array(rng.integers(0, 12, nl), pa.int64()),
+            "ts": pa.array(
+                [base + pd.Timedelta(seconds=int(s)) for s in rng.integers(0, 86400, nl)],
+                pa.timestamp("us"),
+            ),
+        }
+    )
+    # distinct right timestamps per user (dedup upstream is the
+    # documented contract for deterministic ties)
+    seen = set()
+    rid, ruid, rts = [], [], []
+    i = 0
+    while len(rid) < nr:
+        u = int(rng.integers(0, 12))
+        s = int(rng.integers(0, 86400))
+        if (u, s) in seen:
+            i += 1
+            continue
+        seen.add((u, s))
+        rid.append(1000 + len(rid)); ruid.append(u)
+        rts.append(base + pd.Timedelta(seconds=s))
+    Rt = pa.table(
+        {
+            "click_id": pa.array(rid, pa.int64()),
+            "uid": pa.array(ruid, pa.int64()),
+            "click_ts": pa.array(rts, pa.timestamp("us")),
+        }
+    )
+    out = R.asof_join(
+        rd.from_arrow(L).repartition(4),
+        rd.from_arrow(Rt).repartition(3),
+        on="ts",
+        by="user_id",
+        right_on="click_ts",
+        right_by="uid",
+        num_buckets=5,
+    ).take_all()
+    got = {r["event_id"]: (None if r["click_id"] is None else int(r["click_id"]))
+           for r in out}
+    # brute force
+    ld, rdf = L.to_pandas(), Rt.to_pandas()
+    for _, row in ld.iterrows():
+        cand = rdf[(rdf["uid"] == row["user_id"]) & (rdf["click_ts"] <= row["ts"])]
+        want = None if cand.empty else int(cand.loc[cand["click_ts"].idxmax(), "click_id"])
+        assert got[row["event_id"]] == want, (row["event_id"], got[row["event_id"]], want)
