@@ -78,6 +78,23 @@ def shingle_hashes(text: str, k: int = 3) -> np.ndarray:
     return np.unique(md5_hash64_array(shingles))
 
 
+def _dedup_pairs(pairs: "Dataset", *, agg: str = "min", num_buckets: int = 16):
+    """The same (a, b) pair surfaces from several bands — keep one row
+    per pair with the min/max score. Per-block pandas combiner + ONE
+    int hash-bucket shuffle: Ray's native sort-based aggregate on the
+    two-int-key pair table measured ~13 s for 42 k rows at sf0.1 (the
+    engine's known slow path), the bucketed merge is sub-second."""
+    from knowledge_graph_ray.pipelines.relational import hash_bucket_agg
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["a", "b"], as_index=False, sort=False).agg(
+            score=("score", agg)
+        )
+
+    partial = pairs.map_batches(combine, batch_format="pandas", batch_size=None)
+    return hash_bucket_agg(partial, ["a", "b"], combine, num_buckets=num_buckets)
+
+
 def _collision_only(banded: "Dataset", key: str, max_broadcast: int = 2_000_000):
     """Pre-filter bucket rows to buckets holding >= 2 ids: a native
     count-aggregate finds collision buckets (fast C path), the small
@@ -328,7 +345,7 @@ def minhash_lsh_pairs(
         batch_format="pandas",
     )
     # same pair can surface from several bands → dedup on (a, b)
-    return pairs.groupby(["a", "b"]).aggregate(Min("score", alias_name="score"))
+    return _dedup_pairs(pairs, agg="min")
 
 
 # -------------------------------------------------------------- simhash
@@ -352,9 +369,11 @@ def simhash_rows(
     id_col: str = "doc_id",
     bands: int = 4,
 ) -> pa.Table:
-    """One row per (band, id): band_key = band index + that 16-bit slice
-    of the simhash. Two docs within Hamming distance (bands-1) share at
-    least one band key (pigeonhole)."""
+    """One row per (band, id): band_key mixes the band index with that
+    band's simhash slice — an INT64 key (a bijection of the old
+    "bidx:slice" string; string keys put the whole banded table on
+    Ray's slow string-sort path). Two docs within Hamming distance
+    (bands-1) share at least one band key (pigeonhole)."""
     ids = batch.column(id_col).to_pylist()
     texts = batch.column(text_col).to_pylist()
     width = 64 // bands
@@ -363,12 +382,16 @@ def simhash_rows(
     for rid, text in zip(ids, texts):
         sh = simhash64(text)
         for bidx in range(bands):
-            o_key.append(f"{bidx}:{(sh >> (bidx * width)) & mask:x}")
+            slice_ = (sh >> (bidx * width)) & mask
+            key = slice_ if bands == 1 else bidx * (mask + 1) + slice_
+            o_key.append(key)
             o_id.append(rid)
             o_sim.append(sh)
     return pa.table(
         {
-            "band_key": pa.array(o_key, pa.string()),
+            "band_key": pa.array(
+                np.array(o_key, dtype=np.uint64).view(np.int64)
+            ),
             "id": pa.array(o_id, pa.int64()),
             "simhash": pa.array(np.array(o_sim, dtype=np.uint64).view(np.int64)),
         }
@@ -412,7 +435,7 @@ def simhash_pairs(
         lambda df: _bucket_pairs_simhash(df, max_hamming, group_cap),
         batch_format="pandas",
     )
-    return pairs.groupby(["a", "b"]).aggregate(Min("score", alias_name="score"))
+    return _dedup_pairs(pairs, agg="min")
 
 
 # ------------------------------------------------------- exact jaccard
@@ -463,7 +486,7 @@ def ngram_jaccard_pairs(
     pairs = _collision_only(banded, "band_key").groupby("band_key").map_groups(
         verify, batch_format="pandas"
     )
-    return pairs.groupby(["a", "b"]).aggregate(Max("score", alias_name="score"))
+    return _dedup_pairs(pairs, agg="max")
 
 
 # -------------------------------------------------- embedding cosine
@@ -552,7 +575,7 @@ def embedding_cosine_pairs(
     pairs = _collision_only(bucketed, "band_key").groupby("band_key").map_groups(
         pairs_in_bucket, batch_format="pandas"
     )
-    return pairs.groupby(["a", "b"]).aggregate(Max("score", alias_name="score"))
+    return _dedup_pairs(pairs, agg="max")
 
 
 # ------------------------------------------------------------ survivors
