@@ -104,13 +104,25 @@ def _collision_only(banded: "Dataset", key: str, max_broadcast: int = 2_000_000)
     unfiltered dataset if the collision set itself is huge."""
     import ray
 
+    from knowledge_graph_ray.pipelines.relational import hash_bucket_agg
+
     # counts pass shuffles ONLY the 8-byte key column — never the
     # signature lists riding on the full banded rows (measured 4x the
     # shuffle volume at sf0.1); banded re-executes for the filter pass,
-    # which at corpus scale beats materializing bands x corpus rows
-    counts = banded.select_columns([key]).groupby(key).aggregate(
-        Count(alias_name="_n")
+    # which at corpus scale beats materializing bands x corpus rows.
+    # Per-block value_counts combiner + int bucket merge (the native
+    # sort-based Count paid ~3 s of shuffle constant at sf0.1).
+    def count_combine(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(key, as_index=False, sort=False).agg(_n=(key, "size"))
+        return out
+
+    def count_merge(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(key, as_index=False, sort=False).agg(_n=("_n", "sum"))
+
+    partial = banded.select_columns([key]).map_batches(
+        count_combine, batch_format="pandas", batch_size=None
     )
+    counts = hash_bucket_agg(partial, [key], count_merge, num_buckets=16)
     hot_rows = counts.filter(expr="_n >= 2").select_columns([key]).take_all()
     if len(hot_rows) > max_broadcast:
         return banded

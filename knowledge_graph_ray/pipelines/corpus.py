@@ -69,7 +69,10 @@ def normalize_doc_lengths(
     paras: Dataset, *, min_tokens: int = 300, max_tokens: int = 500
 ) -> Dataset:
     """M6: per-document merge/split to the token band. Doc-local and
-    order-sensitive → map_groups(doc_id) with explicit para_idx sort."""
+    order-sensitive: ONE hash-bucket shuffle on doc_id (each doc lands
+    whole in a bucket), then the bucket kernel normalizes every doc in
+    a pandas groupby loop — Ray's map_groups paid ~1 ms of per-group
+    overhead per DOC, which dominated on web-scale doc counts."""
 
     def fix_doc(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values("para_idx")
@@ -86,7 +89,23 @@ def normalize_doc_lengths(
             }
         )
 
-    return paras.groupby("doc_id").map_groups(fix_doc, batch_format="pandas")
+    empty = pd.DataFrame(
+        {
+            "doc_id": pd.Series([], dtype="int64"),
+            "url": pd.Series([], dtype="object"),
+            "para_idx": pd.Series([], dtype="int64"),
+            "text": pd.Series([], dtype="object"),
+            "n_tokens": pd.Series([], dtype="int64"),
+        }
+    )
+
+    def fix_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        outs = [fix_doc(g) for _, g in df.groupby("doc_id", sort=False)]
+        return pd.concat(outs, ignore_index=True) if outs else empty.copy()
+
+    from knowledge_graph_ray.pipelines.relational import hash_bucket_agg
+
+    return hash_bucket_agg(paras, ["doc_id"], fix_bucket, num_buckets=32)
 
 
 def build_corpus(
