@@ -249,13 +249,25 @@ def asof_join(
 
     def bucket_kernel(df: pd.DataFrame) -> pd.DataFrame:
         L = df[df["__side"] == 0][left_names]
+        # SQL null semantics (merge_asof raises on NaT): null-on left
+        # rows pass through unmatched; null right rows never match
         R = df[df["__side"] == 1][[by] + r_keep]
+        R = R[R[right_on].notna()]
         if not len(L):
             empty = {c: L[c] for c in left_names}
             empty.update(
                 {c: pd.Series([], dtype=r_pd_dtypes[c]) for c in r_keep}
             )
             return pd.DataFrame(empty)
+        null_L = L[L[on].isna()]
+        L = L[L[on].notna()]
+        if not len(L):
+            out = null_L.copy()
+            for c in r_keep:
+                out[c] = pd.Series(
+                    [None] * len(out), dtype=r_pd_dtypes[c], index=out.index
+                )
+            return out[out_cols]
         L = L.sort_values(on, kind="mergesort").reset_index(drop=True)
         if len(R):
             R = R.sort_values(right_on, kind="mergesort").reset_index(drop=True)
@@ -277,6 +289,13 @@ def asof_join(
         for c in r_keep:
             if str(out[c].dtype) != r_pd_dtypes[c]:
                 out[c] = out[c].astype(r_pd_dtypes[c])
+        if len(null_L):
+            nl = null_L.copy()
+            for c in r_keep:
+                nl[c] = pd.Series(
+                    [None] * len(nl), dtype=r_pd_dtypes[c], index=nl.index
+                )
+            out = pd.concat([out[out_cols], nl[out_cols]], ignore_index=True)
         return out[out_cols]
 
     return hash_bucket_agg(both, [by], bucket_kernel, num_buckets=num_buckets)

@@ -242,3 +242,37 @@ def test_asof_matches_bruteforce_random(ray_session, seed):
         cand = rdf[(rdf["uid"] == row["user_id"]) & (rdf["click_ts"] <= row["ts"])]
         want = None if cand.empty else int(cand.loc[cand["click_ts"].idxmax(), "click_id"])
         assert got[row["event_id"]] == want, (row["event_id"], got[row["event_id"]], want)
+
+
+def test_asof_null_keys_pass_through(ray_session):
+    import pandas as pd
+
+    left = pa.table(
+        {
+            "event_id": pa.array([1, 2], pa.int64()),
+            "user_id": pa.array([10, 10], pa.int64()),
+            "ts": pa.array([_ts(5), None], pa.timestamp("us")),
+        }
+    )
+    right = pa.table(
+        {
+            "click_id": pa.array([100, 101], pa.int64()),
+            "uid": pa.array([10, 10], pa.int64()),
+            "click_ts": pa.array([_ts(1), None], pa.timestamp("us")),
+        }
+    )
+    out = R.asof_join(
+        rd.from_arrow(left),
+        rd.from_arrow(right),
+        on="ts",
+        by="user_id",
+        right_on="click_ts",
+        right_by="uid",
+        num_buckets=2,
+    )
+    rows = {r["event_id"]: r for r in out.take_all()}
+    assert len(rows) == 2
+    # non-null left matches the non-null right row only
+    assert int(rows[1]["click_id"]) == 100
+    # null-ts left row passes through unmatched (SQL semantics)
+    assert rows[2]["click_id"] is None or pd.isna(rows[2]["click_id"])
