@@ -276,3 +276,39 @@ def test_asof_null_keys_pass_through(ray_session):
     assert int(rows[1]["click_id"]) == 100
     # null-ts left row passes through unmatched (SQL semantics)
     assert rows[2]["click_id"] is None or pd.isna(rows[2]["click_id"])
+
+
+def test_bucketed_ops_survive_hot_key(ray_session):
+    """One user holds half of all events (hot-entity skew): sessionize,
+    asof and range join must stay correct — a hot by-key lands whole
+    in one bucket and is processed by the vectorized kernel, never
+    dropped or split."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from knowledge_graph_ray.functions.sessions import sessionize
+
+    n = 2000
+    rng = np.random.default_rng(3)
+    base = pd.Timestamp("2024-01-01")
+    users = np.where(rng.random(n) < 0.5, 7, rng.integers(0, 40, n))
+    ev = pa.table(
+        {
+            "event_id": pa.array(range(n), pa.int64()),
+            "user_id": pa.array(users, pa.int64()),
+            "ts": pa.array(
+                [base + pd.Timedelta(seconds=int(s)) for s in rng.integers(0, 7 * 86400, n)],
+                pa.timestamp("us"),
+            ),
+            "value": pa.array(rng.random(n), pa.float64()),
+        }
+    )
+    ds = rd.from_arrow(ev).repartition(8)
+    sess = sessionize(ds, gap_minutes=30).take_all()
+    # every event is in exactly one session; totals preserved
+    assert sum(r["n_events"] for r in sess) == n
+    hot = [r for r in sess if r["user_id"] == 7]
+    assert sum(r["n_events"] for r in hot) == int((users == 7).sum())
+    # session idx dense per user
+    idxs = sorted(r["session_idx"] for r in hot)
+    assert idxs == list(range(len(hot)))
