@@ -153,3 +153,50 @@ def fingerprint_batch(
     return out.append_column(
         "fingerprint64", pa.array(np.array(combined, dtype=np.uint64).view(np.int64))
     )
+
+
+# ------------------------------------------- corpus-level token stats
+
+def token_df_partial(df, text_col: str = "text", id_col: str = "doc_id"):
+    """Per-block PARTIAL document-frequency counts: (token, df_part).
+
+    Each document is one row, so per-block ``drop_duplicates`` of the
+    exploded (doc, token) pairs yields globally-distinct pairs — the
+    partials sum exactly across blocks. This is the combiner half of
+    the classic inverted-index / IDF build: the all-to-all that
+    follows shuffles only (token, int) partials, never document text."""
+    import pandas as pd
+
+    s = df[text_col].fillna("").str.strip()
+    toks = s[s != ""].str.split(r"\s+", regex=True)
+    ex = pd.DataFrame(
+        {id_col: df.loc[toks.index, id_col].to_numpy(), "token": toks.to_numpy()}
+    ).explode("token")
+    ex = ex.drop_duplicates()
+    return ex.groupby("token", as_index=False, sort=False).agg(df=(id_col, "size"))
+
+
+def repetition_batch(df, text_col: str = "text", id_col: str = "doc_id"):
+    """Gopher-style repetition signals per document (exact ints, no
+    float-hash risk): ``top_token_n`` = multiplicity of the most
+    frequent token, ``dup_token_n`` = n_tokens - n_distinct_tokens.
+    Vectorized explode + groupby; each doc is one row so the kernel
+    is exact per block."""
+    import pandas as pd
+
+    s = df[text_col].fillna("").str.strip()
+    toks = s.str.split(r"\s+", regex=True)
+    toks = toks.where(s != "", other=pd.Series([[] for _ in range(len(s))], index=s.index))
+    ex = pd.DataFrame(
+        {id_col: df[id_col].to_numpy(), "token": toks.to_numpy()}
+    ).explode("token")
+    ex = ex.dropna(subset=["token"])
+    per = ex.groupby([id_col, "token"], sort=False).size().rename("c").reset_index()
+    g = per.groupby(id_col, sort=False)["c"]
+    stats = pd.DataFrame(
+        {"top_token_n": g.max(), "dup_token_n": g.sum() - g.size()}
+    ).reset_index()
+    out = df[[id_col]].merge(stats, on=id_col, how="left")
+    out["top_token_n"] = out["top_token_n"].fillna(0).astype("int64")
+    out["dup_token_n"] = out["dup_token_n"].fillna(0).astype("int64")
+    return out

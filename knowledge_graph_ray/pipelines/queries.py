@@ -1218,6 +1218,193 @@ def q_semantic_paragraphs(sf_dir: str) -> Dataset:
     )
 
 
+# --- F: corpus-level token statistics (wordcount / IDF family) ----------
+
+def q_docs_df_topk(sf_dir: str, k: int = 50) -> Dataset:
+    """Document-frequency top-k (IDF table build, the wordcount-at-scale
+    shape): per-block combiner emits (token, partial_df) — document
+    text never crosses the wire — then ONE int-keyed hash-bucket
+    shuffle sums per token and takes per-bucket top-k (each token
+    lives whole in one bucket, so bucket top-k is globally safe);
+    final merge ranks num_buckets × k tiny rows. Ties broken
+    (df DESC, token ASC) on both engines."""
+    ds = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    partials = ds.map_batches(
+        textstats.token_df_partial, batch_format="pandas", batch_size=None
+    )
+
+    def bucket_topk(df: pd.DataFrame) -> pd.DataFrame:
+        m = df.groupby("token", as_index=False, sort=False).agg(df=("df", "sum"))
+        return m.sort_values(["df", "token"], ascending=[False, True]).head(k)
+
+    merged = R.hash_bucket_agg(partials, ["token"], bucket_topk, num_buckets=32)
+
+    def final_topk(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["df", "token"], ascending=[False, True]).head(k)
+
+    return merged.repartition(1).map_batches(
+        final_topk, batch_format="pandas", batch_size=None
+    )
+
+
+SQL_DOCS_DF_TOPK = """
+SELECT token, df FROM (
+  SELECT token, COUNT(DISTINCT doc_id) AS df FROM (
+    SELECT doc_id, UNNEST(regexp_split_to_array(trim(text), '\\s+')) AS token
+    FROM documents WHERE trim(text) <> ''
+  ) GROUP BY token
+) ORDER BY df DESC, token LIMIT 50
+"""
+
+
+def q_docs_repetition(sf_dir: str) -> Dataset:
+    """Gopher-style repetition quality signals (exact ints): per-doc
+    most-frequent-token multiplicity and duplicate-token count. Pure
+    vectorized map — each document is one row, so the explode/groupby
+    kernel is exact per block with no shuffle at all."""
+    ds = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    return ds.map_batches(
+        textstats.repetition_batch, batch_format="pandas", batch_size=None
+    )
+
+
+SQL_DOCS_REPETITION = """
+SELECT d.doc_id,
+       CAST(COALESCE(g.top_token_n, 0) AS BIGINT) AS top_token_n,
+       CAST(COALESCE(g.dup_token_n, 0) AS BIGINT) AS dup_token_n
+FROM documents d LEFT JOIN (
+  SELECT doc_id, MAX(c) AS top_token_n, SUM(c) - COUNT(*) AS dup_token_n FROM (
+    SELECT doc_id, token, COUNT(*) AS c FROM (
+      SELECT doc_id, UNNEST(regexp_split_to_array(trim(text), '\\s+')) AS token
+      FROM documents WHERE trim(text) <> ''
+    ) GROUP BY doc_id, token
+  ) GROUP BY doc_id
+) g ON d.doc_id = g.doc_id
+"""
+
+
+_QUANTILES = (25, 50, 75, 90, 99)
+
+
+def q_docs_length_quantiles(sf_dir: str) -> Dataset:
+    """EXACT corpus length quantiles via a distributed value-count
+    histogram: per-block value_counts of the whitespace token count,
+    one int-keyed bucket shuffle to merge, then the quantile walk over
+    the merged histogram. The final single block holds one row per
+    DISTINCT length value — bounded by max document length, not corpus
+    size, so the funnel is safe at any scale. Matches DuckDB
+    ``quantile_disc`` exactly: rank = ceil(q*n), integer arithmetic."""
+    ds = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+    counts = ds.map_batches(
+        textstats.token_count_batch, batch_format="pyarrow", batch_size=None
+    ).select_columns(["n_tokens_ws"])
+
+    def partial_hist(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.groupby("n_tokens_ws", as_index=False, sort=False)
+            .agg(n=("n_tokens_ws", "size"))
+        )
+
+    hist = R.hash_bucket_agg(counts, ["n_tokens_ws"], partial_hist, num_buckets=16)
+
+    def quantile_walk(df: pd.DataFrame) -> pd.DataFrame:
+        df = (
+            df.groupby("n_tokens_ws", as_index=False, sort=False)
+            .agg(n=("n", "sum"))
+            .sort_values("n_tokens_ws")
+        )
+        cum = df["n"].cumsum().to_numpy()
+        total = int(cum[-1]) if len(cum) else 0
+        vals = df["n_tokens_ws"].to_numpy()
+        out = {}
+        for q in _QUANTILES:
+            rank = -(-q * total // 100)  # ceil(q*n/100), exact ints
+            idx = int(np.searchsorted(cum, rank, side="left"))
+            out[f"p{q}"] = np.int64(vals[idx]) if total else np.int64(0)
+        return pd.DataFrame([out])
+
+    return hist.repartition(1).map_batches(
+        quantile_walk, batch_format="pandas", batch_size=None
+    )
+
+
+SQL_DOCS_LENGTH_QUANTILES = """
+WITH t AS (
+  SELECT CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens_ws
+  FROM documents
+)
+SELECT CAST(quantile_disc(n_tokens_ws, 0.25) AS BIGINT) AS p25,
+       CAST(quantile_disc(n_tokens_ws, 0.50) AS BIGINT) AS p50,
+       CAST(quantile_disc(n_tokens_ws, 0.75) AS BIGINT) AS p75,
+       CAST(quantile_disc(n_tokens_ws, 0.90) AS BIGINT) AS p90,
+       CAST(quantile_disc(n_tokens_ws, 0.99) AS BIGINT) AS p99
+FROM t
+"""
+
+
+def q_shipping_priority(sf_dir: str) -> Dataset:
+    """TPC-H Q3 shape — the large-large join path under an oracle:
+    BUILDING customers semi-filter orders (size-guarded broadcast /
+    distributed semi, ``relational.semi_join``), lineitem revenue is
+    pre-aggregated per order INSIDE map_batches before the
+    order-per-order hash join (both shuffle sides carry only
+    (orderkey, partial-sum) rows, never line items), then a global
+    top-10 by rounded revenue with deterministic ties."""
+    cutoff = pd.Timestamp("1995-03-15")
+    cust = (
+        _read(sf_dir, "customer")
+        .filter(expr="c_mktsegment == 'BUILDING'")
+        .select_columns(["c_custkey"])
+    )
+    orders = _read(sf_dir, "orders").map_batches(
+        lambda t: t.filter(pc.less(t.column("o_orderdate"), pa.scalar(cutoff))),
+        batch_format="pyarrow",
+        batch_size=None,
+    ).select_columns(["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"])
+    orders_b = R.semi_join(orders, cust, on="o_custkey", right_on="c_custkey")
+
+    li = _read(sf_dir, "lineitem").map_batches(
+        lambda t: t.filter(pc.greater(t.column("l_shipdate"), pa.scalar(cutoff))),
+        batch_format="pyarrow",
+        batch_size=None,
+    ).select_columns(["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def widen(df: pd.DataFrame) -> pd.DataFrame:
+        df["revenue"] = df["l_extendedprice"] * (1 - df["l_discount"])
+        return df[["l_orderkey", "revenue"]]
+
+    rev = partial_grouped(
+        li.map_batches(widen, batch_format="pandas", batch_size=None),
+        ["l_orderkey"],
+        {"revenue": "revenue"},
+        merge="bucket",
+        num_buckets=16,
+    )
+    joined = R.hash_join(
+        rev, orders_b, on="l_orderkey", right_on="o_orderkey", num_partitions=8
+    ).select_columns(["l_orderkey", "revenue", "o_orderdate", "o_orderpriority"])
+    top = int_cols(joined, ["revenue"]).sort(
+        ["revenue", "l_orderkey"], descending=[True, False]
+    ).limit(10)
+    return top
+
+
+SQL_SHIPPING_PRIORITY = """
+SELECT l_orderkey,
+       CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)), 0) AS BIGINT) AS revenue,
+       o_orderdate, o_orderpriority
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1995-03-15'
+  AND l_shipdate > TIMESTAMP '1995-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey LIMIT 10
+"""
+
+
 QUERIES = {
     "agg_pricing_summary": q_agg_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
@@ -1234,6 +1421,10 @@ QUERIES = {
     "docs_quality": q_docs_quality,
     "docs_lang_counts": q_docs_lang_counts,
     "knn_bruteforce": q_knn_bruteforce,
+    "docs_df_topk": q_docs_df_topk,
+    "docs_repetition": q_docs_repetition,
+    "docs_length_quantiles": q_docs_length_quantiles,
+    "shipping_priority": q_shipping_priority,
     # rows-only (non-SQL-expressible)
     "kg_flagship": q_kg_flagship,
     "docs_minhash_pairs": q_docs_minhash_pairs,
@@ -1278,6 +1469,10 @@ ORACLE_SQL = {
     "docs_quality": SQL_DOCS_QUALITY,
     "docs_lang_counts": SQL_DOCS_LANG_COUNTS,
     "knn_bruteforce": SQL_KNN_BRUTEFORCE,
+    "docs_df_topk": SQL_DOCS_DF_TOPK,
+    "docs_repetition": SQL_DOCS_REPETITION,
+    "docs_length_quantiles": SQL_DOCS_LENGTH_QUANTILES,
+    "shipping_priority": SQL_SHIPPING_PRIORITY,
     "docs_sample_md5": SQL_DOCS_SAMPLE_MD5,
     "events_value_stats": SQL_EVENTS_VALUE_STATS,
     "events_sessions": SQL_EVENTS_SESSIONS,

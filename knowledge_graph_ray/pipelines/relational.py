@@ -430,11 +430,25 @@ def hash_join(
 ) -> Dataset:
     """Large-large join: Ray Data native hash join (explicit partition
     count — this is an all-to-all shuffle of BOTH sides; prefer
-    broadcast_join whenever one side fits in the object store)."""
+    broadcast_join whenever one side fits in the object store).
+
+    Both sides are coalesced through a no-shuffle ``repartition`` to
+    eliminate ZERO-ROW blocks first: Ray 2.49's hash-shuffle join
+    broadcasts each side's schema to the partition aggregators only
+    from its FIRST shuffle task, and that task early-returns on an
+    empty block without broadcasting (hash_shuffle.py:223,584) — any
+    partition that then receives no real shard builds a zero-column
+    table and pyarrow's acero join raises ``No match ... for key
+    field reference``. Filters upstream of a join routinely leave
+    empty blocks, hitting this nondeterministically. (A yield-nothing
+    map_batches generator does NOT work: a task whose UDF yields no
+    batch still emits one schema-less empty block.)"""
     on_t = (on,) if isinstance(on, str) else tuple(on)
     r_t = None if right_on is None else (
         (right_on,) if isinstance(right_on, str) else tuple(right_on)
     )
+    left = left.repartition(num_partitions)
+    right = right.repartition(num_partitions)
     return left.join(
         right,
         join_type=how,
