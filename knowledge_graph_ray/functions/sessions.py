@@ -87,3 +87,54 @@ def sessionize(
     from knowledge_graph_ray.pipelines.relational import hash_bucket_agg
 
     return hash_bucket_agg(events, [user_col], per_bucket, num_buckets=32)
+
+
+def lag_deltas(
+    events: Dataset,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> Dataset:
+    """LAG window op: per event, microseconds since the same user's
+    previous event (NULL for the user's first event). Deterministic
+    order: (ts, id) within user, matching the SQL twin's
+    ``LAG(...) OVER (PARTITION BY user ORDER BY ts, id)``.
+
+    Same execution shape as ``sessionize``: one int-keyed hash-bucket
+    shuffle on user, then one vectorized sort + groupby-diff pass per
+    bucket (all of the bucket's users at once). Emits nullable Int64
+    so every bucket block has an identical Arrow schema."""
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {
+                    id_col: pd.Series([], dtype="int64"),
+                    user_col: pd.Series([], dtype="int64"),
+                    "delta_us": pd.Series([], dtype="Int64"),
+                }
+            )
+        df = df.sort_values([user_col, ts_col, id_col], kind="mergesort").reset_index(
+            drop=True
+        )
+        # explicit µs resolution (pandas 2.x keeps Arrow's us unit;
+        # dividing a presumed-ns int64 would be off by 1000)
+        us = df[ts_col].astype("datetime64[us]").astype("int64")
+        delta = us.groupby(df[user_col]).diff()
+        return pd.DataFrame(
+            {
+                id_col: df[id_col].astype("int64"),
+                user_col: df[user_col].astype("int64"),
+                "delta_us": delta.astype("Int64"),
+            }
+        )
+
+    from knowledge_graph_ray.pipelines.relational import hash_bucket_agg
+
+    return hash_bucket_agg(
+        events.select_columns([id_col, user_col, ts_col]),
+        [user_col],
+        per_bucket,
+        num_buckets=32,
+    )

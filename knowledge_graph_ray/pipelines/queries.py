@@ -1405,6 +1405,126 @@ ORDER BY revenue DESC, l_orderkey LIMIT 10
 """
 
 
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def q_events_type_pivot(sf_dir: str) -> Dataset:
+    """Pivot / wide aggregation: per-user event counts as one column
+    per event type plus a total. Per-block combiner emits the already
+    -wide partial counts (crosstab), so the bucket shuffle carries one
+    row per (user, block) — never raw events."""
+    ev = _read(sf_dir, "events").select_columns(["user_id", "event_type"])
+    cols = [f"n_{t}" for t in _EVENT_TYPES]
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        wide = (
+            df.groupby(["user_id", "event_type"], sort=False)
+            .size()
+            .unstack(fill_value=0)
+            .reindex(columns=list(_EVENT_TYPES), fill_value=0)
+        )
+        wide.columns = cols
+        return wide.reset_index()
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("user_id", as_index=False, sort=False).agg(
+            **{c: (c, "sum") for c in cols}
+        )
+        for c in cols:
+            out[c] = out[c].astype("int64")
+        out["n_total"] = out[cols].sum(axis=1).astype("int64")
+        return out
+
+    partials = ev.map_batches(combine, batch_format="pandas", batch_size=None)
+    return R.hash_bucket_agg(partials, ["user_id"], merge, num_buckets=32)
+
+
+SQL_EVENTS_TYPE_PIVOT = """
+SELECT user_id,
+""" + ",\n".join(
+    f"       COUNT(*) FILTER (event_type = '{t}') AS n_{t}" for t in _EVENT_TYPES
+) + """,
+       COUNT(*) AS n_total
+FROM events GROUP BY user_id
+"""
+
+
+def q_events_lag_deltas(sf_dir: str) -> Dataset:
+    """LAG window function over the event stream (see
+    ``functions.sessions.lag_deltas``)."""
+    from knowledge_graph_ray.functions.sessions import lag_deltas
+
+    return lag_deltas(_read(sf_dir, "events"))
+
+
+SQL_EVENTS_LAG_DELTAS = """
+SELECT event_id, user_id,
+       CAST(epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS delta_us
+FROM events
+"""
+
+
+def q_docs_lang_length_quantiles(sf_dir: str) -> Dataset:
+    """Grouped exact quantiles: per-language p50/p90 of the whitespace
+    token count, via the same distributed (lang, length)-histogram →
+    per-group quantile walk as ``q_docs_length_quantiles``. The final
+    block holds langs × distinct-lengths rows — bounded, not
+    corpus-proportional."""
+    ds = _read(sf_dir, "documents").select_columns(["lang", "text"])
+    counts = ds.map_batches(
+        textstats.token_count_batch, batch_format="pyarrow", batch_size=None
+    ).select_columns(["lang", "n_tokens_ws"])
+
+    def partial_hist(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.groupby(["lang", "n_tokens_ws"], as_index=False, sort=False)
+            .agg(n=("n_tokens_ws", "size"))
+        )
+
+    hist = R.hash_bucket_agg(
+        counts, ["lang", "n_tokens_ws"], partial_hist, num_buckets=16
+    )
+
+    def walk(df: pd.DataFrame) -> pd.DataFrame:
+        df = (
+            df.groupby(["lang", "n_tokens_ws"], as_index=False, sort=False)
+            .agg(n=("n", "sum"))
+            .sort_values(["lang", "n_tokens_ws"])
+        )
+        rows = []
+        for lang, g in df.groupby("lang", sort=True):
+            cum = g["n"].cumsum().to_numpy()
+            vals = g["n_tokens_ws"].to_numpy()
+            total = int(cum[-1])
+            row = {"lang": lang}
+            for q in (50, 90):
+                rank = -(-q * total // 100)
+                row[f"p{q}"] = np.int64(
+                    vals[int(np.searchsorted(cum, rank, side="left"))]
+                )
+            rows.append(row)
+        return pd.DataFrame(rows, columns=["lang", "p50", "p90"])
+
+    return hist.repartition(1).map_batches(
+        walk, batch_format="pandas", batch_size=None
+    )
+
+
+SQL_DOCS_LANG_LENGTH_QUANTILES = """
+WITH t AS (
+  SELECT lang,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens_ws
+  FROM documents
+)
+SELECT lang,
+       CAST(quantile_disc(n_tokens_ws, 0.50) AS BIGINT) AS p50,
+       CAST(quantile_disc(n_tokens_ws, 0.90) AS BIGINT) AS p90
+FROM t GROUP BY lang
+"""
+
+
 QUERIES = {
     "agg_pricing_summary": q_agg_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
@@ -1425,6 +1545,9 @@ QUERIES = {
     "docs_repetition": q_docs_repetition,
     "docs_length_quantiles": q_docs_length_quantiles,
     "shipping_priority": q_shipping_priority,
+    "events_type_pivot": q_events_type_pivot,
+    "events_lag_deltas": q_events_lag_deltas,
+    "docs_lang_length_quantiles": q_docs_lang_length_quantiles,
     # rows-only (non-SQL-expressible)
     "kg_flagship": q_kg_flagship,
     "docs_minhash_pairs": q_docs_minhash_pairs,
@@ -1473,6 +1596,9 @@ ORACLE_SQL = {
     "docs_repetition": SQL_DOCS_REPETITION,
     "docs_length_quantiles": SQL_DOCS_LENGTH_QUANTILES,
     "shipping_priority": SQL_SHIPPING_PRIORITY,
+    "events_type_pivot": SQL_EVENTS_TYPE_PIVOT,
+    "events_lag_deltas": SQL_EVENTS_LAG_DELTAS,
+    "docs_lang_length_quantiles": SQL_DOCS_LANG_LENGTH_QUANTILES,
     "docs_sample_md5": SQL_DOCS_SAMPLE_MD5,
     "events_value_stats": SQL_EVENTS_VALUE_STATS,
     "events_sessions": SQL_EVENTS_SESSIONS,
