@@ -30,6 +30,7 @@ import os
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 import ray.data as rd
@@ -236,13 +237,13 @@ def canonicalize_nil_surfaces(triples: Dataset, threshold: int = 85) -> Dataset:
     from knowledge_graph_ray.functions.canon import cluster_block, block_key
 
     def nil_surfaces(batch: pa.Table) -> pa.Table:
-        out = set()
+        out: set[str] = set()
         for col in ("subj", "obj"):
             if col not in batch.column_names:
                 continue
-            for v in batch.column(col).to_pylist():
-                if v.startswith("surface:"):
-                    out.add(v[8:])
+            vals = batch.column(col)
+            hits = vals.filter(pc.starts_with(vals, "surface:"))
+            out.update(pc.utf8_slice_codeunits(hits, 8).to_pylist())
         return pa.table({"norm": pa.array(sorted(out), pa.string())})
 
     distinct = {

@@ -73,15 +73,19 @@ def semi_filter(
     ds: Dataset, keys, *, col: str, anti: bool = False
 ) -> Dataset:
     """Semi/anti-join against a broadcast key set (J1/J2 shape)."""
-    ref = ray.put(frozenset(keys))
+    key_list = list(keys)
+    value_set = pa.array(key_list) if key_list else None
+    ref = ray.put(value_set)
 
     def probe(batch: pa.Table) -> pa.Table:
-        s = ray.get(ref)
-        vals = batch.column(col).to_pylist()
-        mask = pa.array(
-            [(v in s) != anti for v in vals],
-            pa.bool_(),
-        )
+        vs = ray.get(ref)
+        if vs is None:  # empty key set: inner → nothing, anti → all
+            return batch.slice(0, 0) if not anti else batch
+        mask = pc.is_in(batch.column(col), value_set=vs.cast(batch.schema.field(col).type))
+        if anti:
+            mask = pc.invert(pc.fill_null(mask, False))
+        else:
+            mask = pc.fill_null(mask, False)
         return batch.filter(mask)
 
     return ds.map_batches(probe, batch_format="pyarrow")
