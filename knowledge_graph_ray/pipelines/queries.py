@@ -534,6 +534,54 @@ def q_docs_ngram_jaccard_pairs(sf_dir: str) -> Dataset:
     return dedup.ngram_jaccard_pairs(_read(sf_dir, "documents"), threshold=0.6)
 
 
+def q_docs_dup_components(sf_dir: str) -> Dataset:
+    """Transitive near-dup components over the exact-Jaccard pair set:
+    distributed min-label propagation (functions/graph.py) — the scale
+    path for the reference's evidence-chain survivor rule
+    (remove_duplicate_paragraphs.py:123-128), replacing the driver-side
+    union-find of dedup.drops_from_pairs. Oracle: recursive-CTE
+    transitive closure over the same generated pair SQL."""
+    from knowledge_graph_ray.functions.graph import connected_components
+
+    pairs = dedup.ngram_jaccard_pairs(_read(sf_dir, "documents"), threshold=0.6)
+    return connected_components(pairs, num_buckets=16).sort("node")
+
+
+def q_graph_pagerank(sf_dir: str) -> Dataset:
+    """Simplified PageRank over the customer→supplier purchase graph
+    (orders ⋈ lineitem, distinct edges; suppliers offset by 1_000_000
+    into a disjoint id space). Iterative bucketed message passing
+    (functions/graph.py); oracle = the same recurrence unrolled as SQL
+    CTEs."""
+    from knowledge_graph_ray.functions.graph import pagerank
+
+    orders = _read(sf_dir, "orders").select_columns(["o_orderkey", "o_custkey"])
+    li = _read(sf_dir, "lineitem").select_columns(["l_orderkey", "l_suppkey"])
+    joined = R.hash_join(
+        li, orders, on="l_orderkey", right_on="o_orderkey", num_partitions=16
+    )
+
+    def mk_edges(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "src": t.column("o_custkey").cast(pa.int64()),
+                "dst": pc.add(
+                    t.column("l_suppkey").cast(pa.int64()), 1_000_000
+                ),
+            }
+        )
+
+    # per-block pre-dedupe shrinks the shuffle; bucketed drop_duplicates
+    # makes edges globally distinct (both mirrored by SQL DISTINCT)
+    edges = joined.map_batches(mk_edges, batch_format="pyarrow").map_batches(
+        lambda df: df.drop_duplicates(), batch_format="pandas"
+    )
+    edges = R.hash_bucket_agg(
+        edges, ["src", "dst"], lambda df: df.drop_duplicates(), num_buckets=16
+    )
+    return pagerank(edges, iters=5, num_buckets=16).sort("node")
+
+
 def _augmented_embeddings(sf_dir: str) -> Dataset:
     """embeddings ∪ exact duplicates of vec_id < 5 under shifted ids —
     derived from the table itself (mirrored 1:1 in the SQL twins).
@@ -694,6 +742,59 @@ hs0 AS (SELECT doc_id,
 SELECT h1.doc_id AS a, h2.doc_id AS b, {score} AS score
 FROM hs0 h1 JOIN hs0 h2 ON h1.doc_id < h2.doc_id
 WHERE {score} >= {threshold}
+"""
+
+
+def _cc_sql(threshold: float = 0.6) -> str:
+    """Twin of q_docs_dup_components: transitive closure (recursive
+    CTE) over the SAME generated Jaccard pair SQL, min reachable id
+    per node — exactly the evidence-chain component semantics."""
+    return f"""
+WITH RECURSIVE
+pairs AS (SELECT a, b FROM ({_jaccard_sql(threshold=threshold)})),
+cedges AS (SELECT a AS s, b AS d FROM pairs UNION SELECT b, a FROM pairs),
+reach(rnode, r) AS (
+    SELECT s, s FROM cedges
+    UNION
+    SELECT e.s, re.r FROM cedges e JOIN reach re ON re.rnode = e.d
+)
+SELECT CAST(rnode AS BIGINT) AS node, CAST(MIN(r) AS BIGINT) AS comp
+FROM reach GROUP BY rnode ORDER BY node
+"""
+
+
+def _pagerank_sql(iters: int = 5, damping: float = 0.85) -> str:
+    """Twin of q_graph_pagerank: the same simplified recurrence
+    pr_{{k+1}}(v) = (1-d)/N + d·Σ pr_k(u)/outdeg(u) unrolled as one CTE
+    per iteration, plain float64 (no dangling-mass redistribution on
+    either side); final ROUND to 9 decimals sits far above
+    summation-order noise."""
+    prs = [
+        "pr0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS pr FROM pnodes)"
+    ]
+    for k in range(1, iters + 1):
+        prs.append(
+            f"""pr{k} AS (
+  SELECT n.node,
+         (1 - {damping}) / (SELECT n FROM nn)
+         + {damping} * COALESCE(SUM(p.pr / d.outdeg), 0) AS pr
+  FROM pnodes n
+  LEFT JOIN pedges e ON e.dst = n.node
+  LEFT JOIN pr{k - 1} p ON p.node = e.src
+  LEFT JOIN pdeg d ON d.src = e.src
+  GROUP BY n.node)"""
+        )
+    chain = ",\n".join(prs)
+    return f"""
+WITH pedges AS (
+  SELECT DISTINCT o.o_custkey AS src, l.l_suppkey + 1000000 AS dst
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+pdeg AS (SELECT src, COUNT(*) AS outdeg FROM pedges GROUP BY src),
+pnodes AS (SELECT src AS node FROM pedges UNION SELECT dst FROM pedges),
+nn AS (SELECT COUNT(*) AS n FROM pnodes),
+{chain}
+SELECT CAST(node AS BIGINT) AS node, ROUND(pr, 9) AS pr
+FROM pr{iters} ORDER BY node
 """
 
 
@@ -1548,6 +1649,8 @@ QUERIES = {
     "events_type_pivot": q_events_type_pivot,
     "events_lag_deltas": q_events_lag_deltas,
     "docs_lang_length_quantiles": q_docs_lang_length_quantiles,
+    "docs_dup_components": q_docs_dup_components,
+    "graph_pagerank": q_graph_pagerank,
     # rows-only (non-SQL-expressible)
     "kg_flagship": q_kg_flagship,
     "docs_minhash_pairs": q_docs_minhash_pairs,
@@ -1609,6 +1712,8 @@ ORACLE_SQL = {
     "docs_minhash_pairs": _minhash_sql(threshold=0.5),
     "docs_simhash_pairs": _simhash_sql(max_hamming=6),
     "docs_ngram_jaccard_pairs": _jaccard_sql(threshold=0.6),
+    "docs_dup_components": _cc_sql(threshold=0.6),
+    "graph_pagerank": _pagerank_sql(iters=5),
     "docs_fingerprint": _fingerprint_sql(),
     "embedding_dup_pairs": SQL_EMBEDDING_DUP_PAIRS,
     "qa_pairs_extract": SQL_QA_PAIRS_EXTRACT,

@@ -1,0 +1,98 @@
+"""functions/graph.py: distributed connected components + PageRank.
+
+CC is the scale path for the reference's transitive evidence-chain
+survivor rule (remove_duplicate_paragraphs.py:123-128); both operators
+are also driver-oracle-checked (queries docs_dup_components /
+graph_pagerank).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+
+def _cc(pairs: pd.DataFrame, **kw) -> dict[int, int]:
+    from knowledge_graph_ray.functions.graph import connected_components
+
+    out = connected_components(rd.from_pandas(pairs), **kw).to_pandas()
+    return dict(zip(out["node"], out["comp"]))
+
+
+def test_cc_chains_triangles_and_singletone_pairs(ray_session):
+    pairs = pd.DataFrame(
+        {
+            "a": [2, 3, 4, 10, 20, 21, 20, 30, 7],
+            "b": [1, 2, 3, 11, 21, 22, 22, 31, 100],
+        }
+    )
+    got = _cc(pairs, num_buckets=4)
+    assert got == {
+        1: 1, 2: 1, 3: 1, 4: 1,
+        10: 10, 11: 10,
+        20: 20, 21: 20, 22: 20,
+        30: 30, 31: 30,
+        7: 7, 100: 7,
+    }
+
+
+def test_cc_long_chain_pointer_jumping(ray_session):
+    # 60-node path: plain propagation needs ~60 rounds; propagation +
+    # pointer jumping must converge well inside max_iters=12
+    n = 60
+    chain = pd.DataFrame({"a": range(1, n), "b": range(0, n - 1)})
+    got = _cc(chain, num_buckets=4, max_iters=12)
+    assert set(got.values()) == {0}
+    assert len(got) == n
+
+
+def test_cc_matches_driver_union_find(ray_session):
+    from knowledge_graph_ray.functions.dedup import drops_from_pairs
+    from knowledge_graph_ray.functions.graph import (
+        component_drops,
+        connected_components,
+    )
+
+    rng = np.random.default_rng(7)
+    pairs = pd.DataFrame(
+        {
+            "a": rng.integers(0, 200, 300),
+            "b": rng.integers(0, 200, 300),
+        }
+    )
+    pairs = pairs[pairs["a"] != pairs["b"]]
+    ds = rd.from_pandas(pairs)
+    expected = drops_from_pairs(ds, strategy="components")
+    comps = connected_components(ds, num_buckets=8)
+    got = set(component_drops(comps).to_pandas()["node"])
+    assert got == expected
+
+
+def test_pagerank_matches_serial_reference(ray_session):
+    from knowledge_graph_ray.functions.graph import pagerank
+
+    edges = pd.DataFrame(
+        {"src": [1, 1, 2, 3, 4, 5, 5], "dst": [2, 3, 3, 4, 1, 1, 2]}
+    )
+    pr = (
+        pagerank(rd.from_pandas(edges), iters=5, num_buckets=4)
+        .to_pandas()
+        .sort_values("node")
+    )
+    nodes = sorted(set(edges["src"]) | set(edges["dst"]))
+    idx = {v: i for i, v in enumerate(nodes)}
+    n, d = len(nodes), 0.85
+    outdeg = edges.groupby("src").size().to_dict()
+    r = np.full(n, 1.0 / n)
+    for _ in range(5):
+        new = np.full(n, (1 - d) / n)
+        for s, t in zip(edges["src"], edges["dst"]):
+            new[idx[t]] += d * r[idx[s]] / outdeg[s]
+        r = new
+    got = dict(zip(pr["node"], pr["pr"]))
+    assert set(got) == set(nodes)
+    for v in nodes:
+        assert abs(got[v] - round(r[idx[v]], 9)) < 2e-9
+    # rank mass sanity: total ≤ 1 (dangling mass not redistributed)
+    assert 0 < sum(got.values()) <= 1 + 1e-9
