@@ -633,6 +633,22 @@ def drops_from_pairs(pairs: Dataset, strategy: str = "pair") -> set[int]:
     return {x for x in members if x not in survivors}
 
 
+def transitive_drops(pairs: Dataset, *, num_buckets: int = 32) -> Dataset:
+    """Distributed twin of ``drops_from_pairs(strategy='components')``:
+    the drop set stays a Dataset (one column ``node``) end to end —
+    the scale path when the pair set is corpus-proportional and a
+    driver-side union-find (reference
+    remove_duplicate_paragraphs.py:123-128) would not fit one process.
+    Apply with ``relational.semi_join(docs, drops, on=id_col,
+    right_on='node', anti=True)``."""
+    from knowledge_graph_ray.functions.graph import (
+        component_drops,
+        connected_components,
+    )
+
+    return component_drops(connected_components(pairs, num_buckets=num_buckets))
+
+
 def filter_dropped(ds: Dataset, drops: set[int], id_col: str = "doc_id") -> Dataset:
     import ray
 

@@ -547,6 +547,23 @@ def q_docs_dup_components(sf_dir: str) -> Dataset:
     return connected_components(pairs, num_buckets=16).sort("node")
 
 
+def q_docs_transitive_dedup(sf_dir: str) -> Dataset:
+    """End-to-end transitive near-dup removal: Jaccard pairs →
+    distributed connected components → anti semi-join back onto the
+    corpus (keep the min id of every evidence chain — the reference's
+    survivor rule, remove_duplicate_paragraphs.py:123-128, with the
+    drop set a Dataset throughout). Oracle: NOT IN over the same
+    recursive-CTE closure."""
+    from knowledge_graph_ray.functions.dedup import transitive_drops
+
+    docs = _read(sf_dir, "documents").select_columns(["doc_id"])
+    pairs = dedup.ngram_jaccard_pairs(_read(sf_dir, "documents"), threshold=0.6)
+    drops = transitive_drops(pairs, num_buckets=16)
+    return R.semi_join(
+        docs, drops, on="doc_id", right_on="node", anti=True
+    ).sort("doc_id")
+
+
 def q_graph_pagerank(sf_dir: str) -> Dataset:
     """Simplified PageRank over the customer→supplier purchase graph
     (orders ⋈ lineitem, distinct edges; suppliers offset by 1_000_000
@@ -760,6 +777,27 @@ reach(rnode, r) AS (
 )
 SELECT CAST(rnode AS BIGINT) AS node, CAST(MIN(r) AS BIGINT) AS comp
 FROM reach GROUP BY rnode ORDER BY node
+"""
+
+
+def _transitive_dedup_sql(threshold: float = 0.6) -> str:
+    """Twin of q_docs_transitive_dedup: documents minus the non-min
+    members of each closure component (same recursive CTE as
+    ``_cc_sql``)."""
+    return f"""
+WITH RECURSIVE
+pairs AS (SELECT a, b FROM ({_jaccard_sql(threshold=threshold)})),
+cedges AS (SELECT a AS s, b AS d FROM pairs UNION SELECT b, a FROM pairs),
+reach(rnode, r) AS (
+    SELECT s, s FROM cedges
+    UNION
+    SELECT e.s, re.r FROM cedges e JOIN reach re ON re.rnode = e.d
+),
+comp AS (SELECT rnode AS node, MIN(r) AS comp FROM reach GROUP BY rnode)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id
+FROM documents d
+WHERE d.doc_id NOT IN (SELECT node FROM comp WHERE node <> comp)
+ORDER BY doc_id
 """
 
 
@@ -1650,6 +1688,7 @@ QUERIES = {
     "events_lag_deltas": q_events_lag_deltas,
     "docs_lang_length_quantiles": q_docs_lang_length_quantiles,
     "docs_dup_components": q_docs_dup_components,
+    "docs_transitive_dedup": q_docs_transitive_dedup,
     "graph_pagerank": q_graph_pagerank,
     # rows-only (non-SQL-expressible)
     "kg_flagship": q_kg_flagship,
@@ -1713,6 +1752,7 @@ ORACLE_SQL = {
     "docs_simhash_pairs": _simhash_sql(max_hamming=6),
     "docs_ngram_jaccard_pairs": _jaccard_sql(threshold=0.6),
     "docs_dup_components": _cc_sql(threshold=0.6),
+    "docs_transitive_dedup": _transitive_dedup_sql(threshold=0.6),
     "graph_pagerank": _pagerank_sql(iters=5),
     "docs_fingerprint": _fingerprint_sql(),
     "embedding_dup_pairs": SQL_EMBEDDING_DUP_PAIRS,

@@ -136,32 +136,52 @@ def semi_join(
     *,
     on: str,
     right_on: str | None = None,
+    anti: bool = False,
     max_broadcast: int = 100_000,
     num_partitions: int = 16,
 ) -> Dataset:
-    """Semi-join where the key side is itself a Dataset, with a size
-    guard: a small key side (dim-table filters) is collected once and
-    broadcast (``semi_filter``); above ``max_broadcast`` keys the path
-    switches to a distributed hash join against the DISTINCT key
+    """Semi/anti-join where the key side is itself a Dataset, with a
+    size guard: a small key side (dim-table filters) is collected once
+    and broadcast (``semi_filter``); above ``max_broadcast`` keys the
+    path switches to a distributed hash join against the DISTINCT key
     column — never a corpus-proportional ``take_all()`` to the driver
-    (the round-1 seed-set pattern flagged in review)."""
+    (the round-1 seed-set pattern flagged in review). ``anti=True``
+    keeps rows WITHOUT a key match; Ray's native join has no anti
+    type, so the distributed path is a left-outer join against keys
+    carrying a marker column, filtered on marker-null."""
     from ray.data.aggregate import Count
 
     right_on = right_on or on
     keys = keys.select_columns([right_on]).materialize()
     if keys.count() <= max_broadcast:
         vals = [r[right_on] for r in keys.take_all()]
-        return semi_filter(large, vals, col=on)
+        return semi_filter(large, vals, col=on, anti=anti)
     uniq = (
         keys.groupby(right_on)
         .aggregate(Count(alias_name="_n"))
         .select_columns([right_on])
     )
+    if anti:
+
+        def mark(batch: pa.Table) -> pa.Table:
+            return batch.append_column(
+                "_anti_m", pa.array(np.ones(batch.num_rows, dtype=np.int8))
+            )
+
+        uniq = uniq.map_batches(mark, batch_format="pyarrow")
     joined = hash_join(
-        large, uniq, on=on, right_on=right_on, num_partitions=num_partitions
+        large,
+        uniq,
+        on=on,
+        right_on=right_on,
+        how="left_outer" if anti else "inner",
+        num_partitions=num_partitions,
     )
 
     def drop_key(batch: pa.Table) -> pa.Table:
+        if anti:
+            batch = batch.filter(pc.is_null(batch.column("_anti_m")))
+            batch = batch.drop_columns(["_anti_m"])
         extra = [c for c in batch.column_names if c == right_on and c != on]
         return batch.drop_columns(extra) if extra else batch
 

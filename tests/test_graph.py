@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import ray.data as rd
 
 
@@ -96,3 +97,24 @@ def test_pagerank_matches_serial_reference(ray_session):
         assert abs(got[v] - round(r[idx[v]], 9)) < 2e-9
     # rank mass sanity: total ≤ 1 (dangling mass not redistributed)
     assert 0 < sum(got.values()) <= 1 + 1e-9
+
+
+def test_transitive_drops_matches_driver_union_find(ray_session):
+    from knowledge_graph_ray.functions import dedup
+
+    # chain 1-2, 2-3 plus island 10-11: components semantics must drop
+    # {2, 3, 11}, while the per-pair rule would differ on the chain
+    pairs = rd.from_arrow(
+        pa.table(
+            {
+                "a": pa.array([1, 2, 10], pa.int64()),
+                "b": pa.array([2, 3, 11], pa.int64()),
+            }
+        )
+    )
+    expected = dedup.drops_from_pairs(pairs, strategy="components")
+    got = {
+        r["node"]
+        for r in dedup.transitive_drops(pairs, num_buckets=4).take_all()
+    }
+    assert got == expected == {2, 3, 11}

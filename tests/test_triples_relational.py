@@ -174,3 +174,28 @@ def test_semi_join_broadcast_and_distributed_agree(ray_session):
     assert canon(bc) == canon(dist)
     assert len(bc) == 30  # 3 distinct keys × 10 rows each
     assert all(set(r) == {"o_key", "v"} for r in dist)
+
+
+def test_anti_semi_join_broadcast_and_distributed_agree(ray_session):
+    large = rd.from_arrow(
+        pa.table(
+            {
+                "o_key": pa.array([i % 20 for i in range(200)], pa.int64()),
+                "v": pa.array(range(200), pa.int64()),
+            }
+        )
+    )
+    keys = rd.from_arrow(
+        pa.table({"c_key": pa.array([2, 2, 5, 7, 7, 7], pa.int64())})
+    )
+    bc = R.semi_join(
+        large, keys, on="o_key", right_on="c_key", anti=True
+    ).take_all()
+    dist = R.semi_join(
+        large, keys, on="o_key", right_on="c_key", anti=True, max_broadcast=0
+    ).take_all()
+    canon = lambda rows: sorted((r["o_key"], r["v"]) for r in rows)
+    assert canon(bc) == canon(dist)
+    assert len(bc) == 170  # 17 of 20 keys survive × 10 rows
+    assert not {r["o_key"] for r in bc} & {2, 5, 7}
+    assert all(set(r) == {"o_key", "v"} for r in dist)
