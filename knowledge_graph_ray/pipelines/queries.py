@@ -1207,11 +1207,22 @@ def q_events_asof_clicks(sf_dir: str) -> Dataset:
                 "gap_ms": gap.astype("Int64"),
             }
         )
-        # emit Arrow so nullable ints surface as real nulls (None),
-        # matching the oracle's rendering in the driver's value hash
         return pa.Table.from_pandas(out, preserve_index=False)
 
-    return joined.map_batches(finish, batch_format="pandas", batch_size=None)
+    # pin_schema strips the from_pandas metadata: nullable ints must
+    # reach the driver as PLAIN arrow int64 + validity (a pandas-dtype
+    # round-trip renders Int64 where the oracle renders float64)
+    return R.pin_schema(
+        joined.map_batches(finish, batch_format="pandas", batch_size=None),
+        pa.schema(
+            [
+                ("user_id", pa.int64()),
+                ("event_id", pa.int64()),
+                ("click_id", pa.int64()),
+                ("gap_ms", pa.int64()),
+            ]
+        ),
+    )
 
 
 SQL_EVENTS_ASOF_CLICKS = """
@@ -1590,10 +1601,20 @@ FROM events GROUP BY user_id
 
 def q_events_lag_deltas(sf_dir: str) -> Dataset:
     """LAG window function over the event stream (see
-    ``functions.sessions.lag_deltas``)."""
+    ``functions.sessions.lag_deltas``). Output pinned to plain arrow
+    int64 so the nullable delta renders like the oracle's BIGINT."""
     from knowledge_graph_ray.functions.sessions import lag_deltas
 
-    return lag_deltas(_read(sf_dir, "events"))
+    return R.pin_schema(
+        lag_deltas(_read(sf_dir, "events")),
+        pa.schema(
+            [
+                ("event_id", pa.int64()),
+                ("user_id", pa.int64()),
+                ("delta_us", pa.int64()),
+            ]
+        ),
+    )
 
 
 SQL_EVENTS_LAG_DELTAS = """

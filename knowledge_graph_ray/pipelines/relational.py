@@ -130,6 +130,30 @@ def hash_bucket_agg(
     )
 
 
+def pin_schema(ds: Dataset, schema: pa.Schema) -> Dataset:
+    """Force every output block to one exact Arrow schema.
+
+    Bucketed pandas kernels leave a rendering hazard at a query
+    boundary: pandas nullable dtypes (Int64) — or arrow tables built
+    with ``Table.from_pandas``, whose embedded pandas metadata
+    reconstructs them — round-trip to a different rendering than
+    DuckDB's BIGINT-with-NULL. Rebuilding each block as a
+    metadata-free arrow table (plain int64 + validity bitmap) makes
+    every comparison level agree; rows are untouched. (Ray bypasses
+    the UDF for zero-row blocks, so schema-less empties pass through —
+    harmless: row-producing consumers skip them.)"""
+
+    def cast(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or batch.num_columns == 0:
+            return schema.empty_table()
+        cols = [
+            batch.column(f.name).cast(f.type) for f in schema
+        ]
+        return pa.Table.from_arrays(cols, schema=schema)
+
+    return ds.map_batches(cast, batch_format="pyarrow")
+
+
 def semi_join(
     large: Dataset,
     keys: Dataset,

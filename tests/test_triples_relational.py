@@ -199,3 +199,19 @@ def test_anti_semi_join_broadcast_and_distributed_agree(ray_session):
     assert len(bc) == 170  # 17 of 20 keys survive × 10 rows
     assert not {r["o_key"] for r in bc} & {2, 5, 7}
     assert all(set(r) == {"o_key", "v"} for r in dist)
+
+
+def test_pin_schema_strips_pandas_nullable_metadata(ray_session):
+    import pandas as pd
+
+    def make(df: pd.DataFrame) -> pa.Table:
+        out = pd.DataFrame({"a": pd.array([1, None], dtype="Int64")})
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    ds = rd.from_items([{"x": 1}]).map_batches(make, batch_format="pandas")
+    pinned = R.pin_schema(ds, pa.schema([("a", pa.int64())]))
+    # without pinning, the from_pandas metadata round-trips to Int64;
+    # pinned blocks must come back as plain float64-with-NaN
+    assert str(pinned.to_pandas()["a"].dtype) == "float64"
+    rows = pinned.take_all()
+    assert rows[0]["a"] == 1 and rows[1]["a"] is None
