@@ -995,6 +995,95 @@ WHERE md5(CAST(doc_id AS VARCHAR)) < '1a'
 """
 
 
+def q_docs_split_assign(sf_dir: str) -> Dataset:
+    """Deterministic train/val/test split: md5(id) hex thresholds
+    (~80/10/10) — seed-free, engine/SQL-portable, stable under
+    re-sharding (assignment depends only on the id, never on row
+    order or partition count)."""
+    import hashlib
+
+    ds = _read(sf_dir, "documents").select_columns(["doc_id"])
+
+    def assign(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        hexes = [hashlib.md5(str(i).encode()).hexdigest() for i in ids]
+        split = [
+            "train" if h < "cc" else ("val" if h < "e6" else "test")
+            for h in hexes
+        ]
+        return batch.append_column("split", pa.array(split, pa.string()))
+
+    return ds.map_batches(assign, batch_format="pyarrow", batch_size=None)
+
+
+SQL_DOCS_SPLIT_ASSIGN = """
+SELECT doc_id,
+       CASE WHEN md5(CAST(doc_id AS VARCHAR)) < 'cc' THEN 'train'
+            WHEN md5(CAST(doc_id AS VARCHAR)) < 'e6' THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+"""
+
+
+# deterministic PII augmentation: the sf corpus contains no real PII,
+# so both engines append the SAME id-derived email/IP/phone tail to
+# every document before scrubbing — the oracle then proves the regex
+# semantics, not a no-op
+_PII_TAIL_PY = " Contact user{d}@mail.example.com at 10.0.{b}.1 or +45 11 22 33 {p:02d}."
+_PII_TAIL_SQL = (
+    "' Contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com at 10.0.' || "
+    "CAST(doc_id % 256 AS VARCHAR) || '.1 or +45 11 22 33 ' || "
+    "lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || '.'"
+)
+
+
+def q_docs_pii_scrub(sf_dir: str) -> Dataset:
+    """PII redaction over the (augmented) corpus: RE2 kernels via
+    pyarrow.compute — the same regex engine DuckDB runs, so the twin
+    applies the literal same patterns (functions/scrub.py)."""
+    from knowledge_graph_ray.functions.scrub import scrub_pii_batch
+
+    ds = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+
+    def augment(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        aug = [
+            t + _PII_TAIL_PY.format(d=i, b=i % 256, p=i % 100)
+            for i, t in zip(ids, texts)
+        ]
+        return pa.table(
+            {"doc_id": batch.column("doc_id"), "text": pa.array(aug, pa.string())}
+        )
+
+    return (
+        ds.map_batches(augment, batch_format="pyarrow", batch_size=None)
+        .map_batches(scrub_pii_batch, batch_format="pyarrow", batch_size=None)
+        .drop_columns(["text"])
+    )
+
+
+def _pii_scrub_sql() -> str:
+    from knowledge_graph_ray.functions.scrub import PII_PATTERNS
+
+    (email, e_r), (ip, i_r), (phone, p_r) = PII_PATTERNS
+    esc = lambda s: s.replace("'", "''")
+    return f"""
+WITH aug AS (
+  SELECT doc_id, text || {_PII_TAIL_SQL} AS text FROM documents
+)
+SELECT doc_id,
+       regexp_replace(regexp_replace(regexp_replace(text,
+           '{esc(email)}', '{e_r}', 'g'),
+           '{esc(ip)}', '{i_r}', 'g'),
+           '{esc(phone)}', '{p_r}', 'g') AS text_clean,
+       CAST(len(regexp_extract_all(text, '{esc(email)}'))
+          + len(regexp_extract_all(text, '{esc(ip)}'))
+          + len(regexp_extract_all(text, '{esc(phone)}')) AS BIGINT) AS n_pii
+FROM aug
+"""
+
+
 def q_events_value_stats(sf_dir: str) -> Dataset:
     """A4 global stats: count / min / max (raw doubles, no arithmetic)
     + integerized mean."""
@@ -1711,6 +1800,8 @@ QUERIES = {
     "docs_dup_components": q_docs_dup_components,
     "docs_transitive_dedup": q_docs_transitive_dedup,
     "graph_pagerank": q_graph_pagerank,
+    "docs_split_assign": q_docs_split_assign,
+    "docs_pii_scrub": q_docs_pii_scrub,
     # rows-only (non-SQL-expressible)
     "kg_flagship": q_kg_flagship,
     "docs_minhash_pairs": q_docs_minhash_pairs,
@@ -1775,6 +1866,8 @@ ORACLE_SQL = {
     "docs_dup_components": _cc_sql(threshold=0.6),
     "docs_transitive_dedup": _transitive_dedup_sql(threshold=0.6),
     "graph_pagerank": _pagerank_sql(iters=5),
+    "docs_split_assign": SQL_DOCS_SPLIT_ASSIGN,
+    "docs_pii_scrub": _pii_scrub_sql(),
     "docs_fingerprint": _fingerprint_sql(),
     "embedding_dup_pairs": SQL_EMBEDDING_DUP_PAIRS,
     "qa_pairs_extract": SQL_QA_PAIRS_EXTRACT,
