@@ -1016,6 +1016,42 @@ def q_docs_split_assign(sf_dir: str) -> Dataset:
     return ds.map_batches(assign, batch_format="pyarrow", batch_size=None)
 
 
+def q_docs_stratified_sample(sf_dir: str, k: int = 20) -> Dataset:
+    """Stratified sampling as grouped top-k: exactly ``k`` docs per
+    language, chosen by md5(id) order (seed-free, engine-portable).
+    Per-block top-k combiner first, so only ≤ k·langs rows per block
+    enter the one small shuffle — the grouped twin of the global
+    top-k pattern (stages/knn.py)."""
+    import hashlib
+
+    ds = _read(sf_dir, "documents").select_columns(["doc_id", "lang"])
+
+    def with_key(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        keys = [hashlib.md5(str(i).encode()).hexdigest() for i in ids]
+        return batch.append_column("_md5", pa.array(keys, pa.string()))
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.sort_values(["lang", "_md5", "doc_id"], kind="mergesort")
+            .groupby("lang", sort=False)
+            .head(k)
+        )
+
+    keyed = ds.map_batches(with_key, batch_format="pyarrow", batch_size=None)
+    partial = keyed.map_batches(topk, batch_format="pandas", batch_size=None)
+    return R.hash_bucket_agg(partial, ["lang"], topk, num_buckets=4).drop_columns(
+        ["_md5"]
+    )
+
+
+SQL_DOCS_STRATIFIED_SAMPLE = """
+SELECT doc_id, lang FROM documents
+QUALIFY row_number() OVER (
+    PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= 20
+"""
+
+
 SQL_DOCS_SPLIT_ASSIGN = """
 SELECT doc_id,
        CASE WHEN md5(CAST(doc_id AS VARCHAR)) < 'cc' THEN 'train'
@@ -1802,6 +1838,7 @@ QUERIES = {
     "graph_pagerank": q_graph_pagerank,
     "docs_split_assign": q_docs_split_assign,
     "docs_pii_scrub": q_docs_pii_scrub,
+    "docs_stratified_sample": q_docs_stratified_sample,
     # rows-only (non-SQL-expressible)
     "kg_flagship": q_kg_flagship,
     "docs_minhash_pairs": q_docs_minhash_pairs,
@@ -1868,6 +1905,7 @@ ORACLE_SQL = {
     "graph_pagerank": _pagerank_sql(iters=5),
     "docs_split_assign": SQL_DOCS_SPLIT_ASSIGN,
     "docs_pii_scrub": _pii_scrub_sql(),
+    "docs_stratified_sample": SQL_DOCS_STRATIFIED_SAMPLE,
     "docs_fingerprint": _fingerprint_sql(),
     "embedding_dup_pairs": SQL_EMBEDDING_DUP_PAIRS,
     "qa_pairs_extract": SQL_QA_PAIRS_EXTRACT,
