@@ -21,6 +21,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+import ray
 import ray.data as rd
 from ray.data import Dataset
 from ray.data.aggregate import Count, Sum
@@ -1052,6 +1053,83 @@ QUALIFY row_number() OVER (
 """
 
 
+def q_docs_contamination(sf_dir: str, k: int = 3, mod: int = 11) -> Dataset:
+    """Benchmark decontamination: per-document count of distinct token
+    k-shingles that also occur in a held-out benchmark set (docs with
+    ``doc_id % mod == 0``, mirrored in SQL). The benchmark shingle set
+    is small by construction (a benchmark is fixed-size, never
+    corpus-proportional): union once on the driver, ``ray.put`` once,
+    membership via vectorized ``np.isin`` per batch — the broadcast
+    semi-join shape, no shuffle touches the corpus."""
+    from knowledge_graph_ray.functions.dedup import shingle_hashes
+
+    docs = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
+
+    def bench_shingles(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        hs = [
+            shingle_hashes(t, k=k)
+            for i, t in zip(ids, texts)
+            if i % mod == 0
+        ]
+        merged = (
+            np.unique(np.concatenate(hs)) if hs else np.array([], np.uint64)
+        )
+        return pa.table({"h": pa.array(merged, pa.uint64())})
+
+    parts = docs.map_batches(
+        bench_shingles, batch_format="pyarrow", batch_size=None
+    ).take_all()
+    bench_set = np.unique(
+        np.array([r["h"] for r in parts], dtype=np.uint64)
+    )
+    ref = ray.put(bench_set)
+
+    def score(batch: pa.Table) -> pa.Table:
+        bset = ray.get(ref)
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        out_id, n_sh, n_hit = [], [], []
+        for i, t in zip(ids, texts):
+            if i % mod == 0:
+                continue
+            sh = shingle_hashes(t, k=k)
+            out_id.append(i)
+            n_sh.append(len(sh))
+            n_hit.append(int(np.isin(sh, bset).sum()))
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "n_shingles": pa.array(n_sh, pa.int64()),
+                "n_hit": pa.array(n_hit, pa.int64()),
+            }
+        )
+
+    return docs.map_batches(score, batch_format="pyarrow", batch_size=None)
+
+
+def _contamination_sql(k: int = 3, mod: int = 11) -> str:
+    """Twin: same tokenizer/shingle/md5 pipeline as ``_jaccard_sql``,
+    benchmark set via unnest + semi-join, hit counts per document."""
+    return f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+g AS (SELECT doc_id, {_sql_grams(k)} AS grams FROM t),
+hs AS (SELECT doc_id,
+       list_distinct(list_transform(grams, g -> md5_number_lower(g))) AS hs
+       FROM g),
+bench AS (SELECT DISTINCT unnest(hs) AS h FROM hs WHERE doc_id % {mod} = 0),
+ex AS (SELECT doc_id, unnest(hs) AS h FROM hs WHERE doc_id % {mod} <> 0),
+hit AS (SELECT e.doc_id, COUNT(*) AS n_hit
+        FROM ex e JOIN bench b ON e.h = b.h GROUP BY e.doc_id)
+SELECT h0.doc_id,
+       CAST(len(h0.hs) AS BIGINT) AS n_shingles,
+       CAST(COALESCE(hit.n_hit, 0) AS BIGINT) AS n_hit
+FROM hs h0 LEFT JOIN hit ON h0.doc_id = hit.doc_id
+WHERE h0.doc_id % {mod} <> 0
+"""
+
+
 SQL_DOCS_SPLIT_ASSIGN = """
 SELECT doc_id,
        CASE WHEN md5(CAST(doc_id AS VARCHAR)) < 'cc' THEN 'train'
@@ -1839,6 +1917,7 @@ QUERIES = {
     "docs_split_assign": q_docs_split_assign,
     "docs_pii_scrub": q_docs_pii_scrub,
     "docs_stratified_sample": q_docs_stratified_sample,
+    "docs_contamination": q_docs_contamination,
     # rows-only (non-SQL-expressible)
     "kg_flagship": q_kg_flagship,
     "docs_minhash_pairs": q_docs_minhash_pairs,
@@ -1906,6 +1985,7 @@ ORACLE_SQL = {
     "docs_split_assign": SQL_DOCS_SPLIT_ASSIGN,
     "docs_pii_scrub": _pii_scrub_sql(),
     "docs_stratified_sample": SQL_DOCS_STRATIFIED_SAMPLE,
+    "docs_contamination": _contamination_sql(),
     "docs_fingerprint": _fingerprint_sql(),
     "embedding_dup_pairs": SQL_EMBEDDING_DUP_PAIRS,
     "qa_pairs_extract": SQL_QA_PAIRS_EXTRACT,
