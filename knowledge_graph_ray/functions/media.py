@@ -7,8 +7,13 @@ formats a stdlib+numpy sandbox CAN genuinely decode:
 - WAV (RIFF PCM 16-bit): chunk walk via the stdlib ``wave`` module to
   (sample_rate, (n, channels) int16 samples), plus the encoder.
 
-PNG/JPEG/MP4 need compression codecs that are NOT in this container —
-those payloads keep the declared stub path in stages/multimodal.
+- PNG (8-bit grayscale / RGB / RGBA, non-interlaced): full chunk walk,
+  stdlib ``zlib`` inflate, all five scanline filters (None/Sub/Up/
+  Average/Paeth) un-applied per the spec, plus an encoder that can
+  exercise every filter type.
+
+JPEG/MP4 need DCT/H.264 codecs that are NOT in this container — those
+payloads keep the declared stub path in stages/multimodal.
 
 Feature extraction is real signal processing (numpy only): audio →
 RMS / zero-crossing rate / spectral centroid / 4 FFT band energies;
@@ -65,6 +70,143 @@ def decode_bmp(payload: bytes) -> tuple[int, int, int, np.ndarray]:
     if bottom_up:
         img = img[::-1]
     return w, h, 3, np.ascontiguousarray(img)
+
+
+# ------------------------------------------------------------------ PNG
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 6: 4}  # gray / RGB / RGBA (8-bit)
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(img: np.ndarray, *, filter_type: int | str = 0) -> bytes:
+    """(H, W) or (H, W, {1,3,4}) uint8 → PNG bytes.
+
+    ``filter_type``: 0–4 applies that scanline filter to every row;
+    ``'cycle'`` rotates through all five (one row each) so a decoder
+    round-trip test exercises every unfilter path."""
+    import zlib
+
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, ch = img.shape
+    ctype = {1: 0, 3: 2, 4: 6}[ch]
+    raw = bytearray()
+    prev = np.zeros((w, ch), dtype=np.int16)
+    for y in range(h):
+        row = img[y].astype(np.int16)
+        ft = (y % 5) if filter_type == "cycle" else int(filter_type)
+        if ft == 0:
+            enc = row
+        elif ft == 1:  # Sub
+            left = np.vstack([np.zeros((1, ch), np.int16), row[:-1]])
+            enc = row - left
+        elif ft == 2:  # Up
+            enc = row - prev
+        elif ft == 3:  # Average
+            left = np.vstack([np.zeros((1, ch), np.int16), row[:-1]])
+            enc = row - (left + prev) // 2
+        else:  # Paeth
+            left = np.vstack([np.zeros((1, ch), np.int16), row[:-1]])
+            ul = np.vstack([np.zeros((1, ch), np.int16), prev[:-1]])
+            enc = row - _paeth(left, prev, ul)
+        raw += bytes([ft]) + (enc % 256).astype(np.uint8).tobytes()
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    p = a + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    out = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+    return out.astype(np.int16)
+
+
+def decode_png(payload: bytes) -> tuple[int, int, int, np.ndarray]:
+    """PNG bytes → (width, height, channels, (H, W, C) uint8).
+
+    8-bit grayscale/RGB/RGBA, non-interlaced (the overwhelming web
+    majority); palette/16-bit/interlaced raise with a clear message —
+    feeding the multimodal stages' quarantine path, never a wrong
+    image."""
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, idat, ihdr = 8, bytearray(), None
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, ctype_v, comp, filt, interlace = ihdr
+    if depth != 8 or ctype_v not in _PNG_CHANNELS or comp or filt or interlace:
+        raise ValueError(
+            f"unsupported PNG variant (depth={depth}, color={ctype_v}, "
+            f"interlace={interlace})"
+        )
+    ch = _PNG_CHANNELS[ctype_v]
+    raw = zlib.decompress(bytes(idat))
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG scanline data truncated")
+    img = np.zeros((h, w, ch), dtype=np.int16)
+    prev = np.zeros((w, ch), dtype=np.int16)
+    for y in range(h):
+        off = y * (stride + 1)
+        ft = raw[off]
+        row = (
+            np.frombuffer(raw, np.uint8, stride, off + 1)
+            .reshape(w, ch)
+            .astype(np.int16)
+        )
+        if ft == 0:
+            cur = row
+        elif ft == 2:  # Up — vectorized
+            cur = (row + prev) % 256
+        elif ft in (1, 3, 4):  # Sub/Average/Paeth — sequential in x
+            cur = np.zeros((w, ch), np.int16)
+            left = np.zeros(ch, np.int16)
+            for x in range(w):
+                up = prev[x]
+                ul = prev[x - 1] if x else np.zeros(ch, np.int16)
+                if ft == 1:
+                    pred = left
+                elif ft == 3:
+                    pred = (left + up) // 2
+                else:
+                    pred = _paeth(left, up, ul)
+                cur[x] = (row[x] + pred) % 256
+                left = cur[x]
+        else:
+            raise ValueError(f"bad PNG filter byte {ft}")
+        img[y] = cur
+        prev = cur
+    return w, h, ch, img.astype(np.uint8)
 
 
 def image_features(img: np.ndarray, dim: int = 32) -> np.ndarray:

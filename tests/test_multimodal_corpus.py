@@ -155,3 +155,47 @@ def test_build_corpus_normalized_band(ray_session):
     rows = out.take_all()
     assert rows
     assert all(r["n_tokens"] <= 500 for r in rows)
+
+
+def test_png_roundtrip_all_filters_and_channels():
+    from knowledge_graph_ray.functions import media as M
+
+    rng = np.random.default_rng(11)
+    for shape in [(9, 7), (13, 21, 3), (6, 5, 4)]:
+        img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        for ft in [0, 1, 2, 3, 4, "cycle"]:
+            w, h, c, back = M.decode_png(M.encode_png(img, filter_type=ft))
+            want = img if img.ndim == 3 else img[:, :, None]
+            assert (w, h, c) == (want.shape[1], want.shape[0], want.shape[2])
+            assert (back == want).all(), (shape, ft)
+
+
+def test_png_and_bmp_agree_on_same_pixels():
+    # the same pixel array shipped in either container format must
+    # decode byte-identically and produce identical features
+    from knowledge_graph_ray.functions import media as M
+
+    rng = np.random.default_rng(12)
+    img = rng.integers(0, 256, size=(16, 24, 3), dtype=np.uint8)
+    _, _, _, via_bmp = M.decode_bmp(M.encode_bmp(img))
+    _, _, _, via_png = M.decode_png(M.encode_png(img, filter_type="cycle"))
+    assert (via_bmp == via_png).all()
+    assert (M.image_features(via_bmp) == M.image_features(via_png)).all()
+
+
+def test_png_unsupported_variants_raise():
+    import struct
+    import zlib
+
+    from knowledge_graph_ray.functions import media as M
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    # 16-bit depth header must be refused, not mis-decoded
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 16, 2, 0, 0, 0)
+    chunk = struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr + struct.pack(
+        ">I", zlib.crc32(b"IHDR" + ihdr)
+    )
+    with pytest.raises(ValueError, match="unsupported PNG"):
+        M.decode_png(sig + chunk)
+    with pytest.raises(ValueError, match="not a PNG"):
+        M.decode_png(b"JUNK")
