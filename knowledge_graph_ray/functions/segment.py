@@ -95,17 +95,26 @@ def normalize_lengths(
     min_tokens: int = 300,
     max_tokens: int = 500,
     passes: int = 3,
+    counter=None,
 ) -> list[str]:
     """M6: iteratively merge adjacent short paragraphs and split long
     ones at sentence boundaries, at most ``passes`` rounds, then hard
-    truncate anything still over budget."""
+    truncate anything still over budget.
+
+    ``counter`` sets the band's unit: default whitespace tokens (the
+    cheap stand-in); pass ``WordPieceTokenizer(...).count`` to measure
+    the band in the reference's wordpiece units
+    (tokenize_paragraphs.py:14-31 — its 300–500 band is BERT
+    subwords, not words). The hard truncate stays whitespace-wise
+    (a subword cut mid-word would corrupt text)."""
+    count = counter or count_tokens
     paras = [p for p in paragraphs if p.strip()]
     for _ in range(passes):
         changed = False
         # merge pass
         merged: list[str] = []
         for p in paras:
-            if merged and count_tokens(merged[-1]) < min_tokens:
+            if merged and count(merged[-1]) < min_tokens:
                 merged[-1] = merged[-1] + " " + p
                 changed = True
             else:
@@ -113,12 +122,12 @@ def normalize_lengths(
         # split pass
         split_out: list[str] = []
         for p in merged:
-            if count_tokens(p) > max_tokens:
+            if count(p) > max_tokens:
                 sents = split_sentences(p)
                 cur: list[str] = []
                 cur_tok = 0
                 for s in sents:
-                    t = count_tokens(s)
+                    t = count(s)
                     if cur and cur_tok + t > max_tokens:
                         split_out.append(". ".join(cur) + ".")
                         cur, cur_tok = [], 0

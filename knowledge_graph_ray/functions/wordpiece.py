@@ -159,3 +159,9 @@ class WordPieceTokenizer:
 
     def tokenize_join(self, text: str) -> str:
         return " ".join(self.tokenize(text))
+
+    def count(self, text: str) -> int:
+        """Subword count — the unit of the reference's 300–500
+        paragraph band (tokenize_paragraphs.py; bert_embed.py:74-76
+        truncates at 511 of these)."""
+        return len(self.tokenize(text))

@@ -17,6 +17,7 @@ from __future__ import annotations
 import pandas as pd
 import pyarrow as pa
 
+import ray
 from ray.data import Dataset
 
 from knowledge_graph_ray.functions import dedup
@@ -66,18 +67,39 @@ def remove_near_dup_paragraphs(paras: Dataset, *, threshold: float = 0.85) -> Da
 
 
 def normalize_doc_lengths(
-    paras: Dataset, *, min_tokens: int = 300, max_tokens: int = 500
+    paras: Dataset,
+    *,
+    min_tokens: int = 300,
+    max_tokens: int = 500,
+    token_unit: str = "ws",
+    vocab: list[str] | None = None,
 ) -> Dataset:
     """M6: per-document merge/split to the token band. Doc-local and
     order-sensitive: ONE hash-bucket shuffle on doc_id (each doc lands
     whole in a bucket), then the bucket kernel normalizes every doc in
     a pandas groupby loop — Ray's map_groups paid ~1 ms of per-group
-    overhead per DOC, which dominated on web-scale doc counts."""
+    overhead per DOC, which dominated on web-scale doc counts.
 
-    def fix_doc(df: pd.DataFrame) -> pd.DataFrame:
+    ``token_unit='wordpiece'`` measures the band in BERT subwords (the
+    reference's actual unit, tokenize_paragraphs.py:14-31) using a
+    ``vocab`` (required) broadcast once via ``ray.put`` and rebuilt as
+    a tokenizer once per bucket — not per paragraph. Default ``'ws'``
+    keeps the cheap whitespace stand-in."""
+    tok_ref = None
+    if token_unit == "wordpiece":
+        if vocab is None:
+            raise ValueError("token_unit='wordpiece' needs a vocab")
+        tok_ref = ray.put(sorted(vocab))
+    elif token_unit != "ws":
+        raise ValueError(f"unknown token_unit: {token_unit!r}")
+
+    def fix_doc(df: pd.DataFrame, counter) -> pd.DataFrame:
         df = df.sort_values("para_idx")
         out = normalize_lengths(
-            df["text"].tolist(), min_tokens=min_tokens, max_tokens=max_tokens
+            df["text"].tolist(),
+            min_tokens=min_tokens,
+            max_tokens=max_tokens,
+            counter=counter,
         )
         return pd.DataFrame(
             {
@@ -85,7 +107,7 @@ def normalize_doc_lengths(
                 "url": df["url"].iloc[0] if "url" in df else None,
                 "para_idx": range(len(out)),
                 "text": out,
-                "n_tokens": [count_tokens(t) for t in out],
+                "n_tokens": [(counter or count_tokens)(t) for t in out],
             }
         )
 
@@ -100,7 +122,12 @@ def normalize_doc_lengths(
     )
 
     def fix_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        outs = [fix_doc(g) for _, g in df.groupby("doc_id", sort=False)]
+        counter = None
+        if tok_ref is not None:
+            from knowledge_graph_ray.functions.wordpiece import WordPieceTokenizer
+
+            counter = WordPieceTokenizer(ray.get(tok_ref)).count
+        outs = [fix_doc(g, counter) for _, g in df.groupby("doc_id", sort=False)]
         return pd.concat(outs, ignore_index=True) if outs else empty.copy()
 
     from knowledge_graph_ray.pipelines.relational import hash_bucket_agg

@@ -91,3 +91,36 @@ def test_wordpiece_stage(ray_session):
     for r in rows[:5]:
         assert r["tokenized_text"] == tok.tokenize_join(r["text"])
         assert r["n_tokens_wp"] == len(r["tokenized_text"].split())
+
+
+def test_normalize_lengths_in_wordpiece_units(ray_session):
+    from knowledge_graph_ray.pipelines.corpus import normalize_doc_lengths
+
+    # vocab splits every word into ~3 pieces ("ab", "##cd", "##ef"),
+    # so a 4-word paragraph is 12 subwords but only 4 ws tokens: with
+    # a max band of 6 the wordpiece unit must split where the
+    # whitespace unit would not
+    vocab = ["ab", "##cd", "##ef"]
+    word = "abcdef"
+    paras = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 1], pa.int64()),
+                "url": pa.array(["u", "u"]),
+                "para_idx": pa.array([0, 1], pa.int64()),
+                "text": pa.array([f"{word} {word}. {word} {word}."] * 2),
+            }
+        )
+    )
+    ws = normalize_doc_lengths(paras, min_tokens=1, max_tokens=6).take_all()
+    wp = normalize_doc_lengths(
+        paras, min_tokens=1, max_tokens=6, token_unit="wordpiece", vocab=vocab
+    ).take_all()
+    assert len(ws) == 2  # 4 ws tokens per para — under band, untouched
+    assert len(wp) == 4  # 12 subwords per para — split at sentences
+    # reported n_tokens are in the band's own unit (each split para is
+    # "abcdef abcdef." = 3 + 3 pieces + the trailing "." UNK = 7)
+    assert all(r["n_tokens"] == 4 for r in ws)
+    assert all(r["n_tokens"] == 7 for r in wp)
+    with pytest.raises(ValueError, match="needs a vocab"):
+        normalize_doc_lengths(paras, token_unit="wordpiece")
