@@ -11,8 +11,12 @@ formats a stdlib+numpy sandbox CAN genuinely decode:
   stdlib ``zlib`` inflate, all five scanline filters (None/Sub/Up/
   Average/Paeth) un-applied per the spec, plus an encoder that can
   exercise every filter type.
+- Baseline JPEG (``functions/jpeg`` — re-exported here): Huffman
+  entropy decode, dequant + matrix IDCT, 4:2:0 upsampling, restart
+  intervals; validated against a real libjpeg-produced file.
+  Progressive / arithmetic variants raise into the quarantine path.
 
-JPEG/MP4 need DCT/H.264 codecs that are NOT in this container — those
+MP4 needs an H.264 codec that is NOT in this container — video
 payloads keep the declared stub path in stages/multimodal.
 
 Feature extraction is real signal processing (numpy only): audio →
@@ -27,6 +31,11 @@ import struct
 import wave
 
 import numpy as np
+
+from knowledge_graph_ray.functions.jpeg import (  # noqa: F401 (re-export)
+    decode_jpeg,
+    encode_jpeg,
+)
 
 # ------------------------------------------------------------------ BMP
 

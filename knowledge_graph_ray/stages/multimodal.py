@@ -2,12 +2,13 @@
 with typed metadata, processed by actor-pool ``map_batches`` stages.
 
 Decode reality in this sandbox (no PIL / torchaudio / ffmpeg):
-- BMP and PNG images (8-bit gray/RGB/RGBA, all five scanline filters,
-  stdlib zlib inflate) and RIFF/WAV PCM audio are decoded FOR REAL —
-  ``functions/media`` implements the published byte formats with
-  stdlib+numpy, and features are real signal statistics (RMS, ZCR,
-  spectral centroid, luminance histograms).
-- JPEG/MP4 need DCT/H.264 codec libraries that are not
+- BMP, PNG (8-bit gray/RGB/RGBA, all five scanline filters, stdlib
+  zlib inflate), baseline JPEG (Huffman + IDCT + 4:2:0 upsampling,
+  validated against a real libjpeg file) and RIFF/WAV PCM audio are
+  decoded FOR REAL — ``functions/media`` implements the published
+  byte formats with stdlib+numpy, and features are real signal
+  statistics (RMS, ZCR, spectral centroid, luminance histograms).
+- MP4 needs an H.264 codec that is not
   in the container: those payloads take the declared stub path —
   deterministic fake metadata by default, ``strict=True`` raises
   ``NotImplementedError`` at the decode call. The Ray-side plumbing
@@ -37,9 +38,9 @@ FEATURE_DIM = 32
 
 def synth_media_table(n: int = 24, seed: int = 42) -> pa.Table:
     """Deterministic media corpus with REAL bytes where decodable:
-    images alternate genuine 24-bit BMPs and filter-cycled PNGs,
-    audio rows are genuine 16-bit PCM WAVs (sine + noise), video rows
-    are mp4-signature stubs."""
+    images rotate genuine 24-bit BMPs, filter-cycled PNGs and 4:2:0
+    baseline JPEGs, audio rows are genuine 16-bit PCM WAVs (sine +
+    noise), video rows are mp4-signature stubs."""
     rng = np.random.default_rng(seed)
     kinds = ["image", "audio", "video"]
     ids, kind_col, payloads, mimes = [], [], [], []
@@ -48,12 +49,18 @@ def synth_media_table(n: int = 24, seed: int = 42) -> pa.Table:
         if k == "image":
             w, h = int(rng.integers(8, 33)), int(rng.integers(8, 33))
             img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
-            if i % 2:  # alternate real formats: BMP and filtered PNG
+            fmt = (i // 3) % 3  # rotate real formats: BMP / PNG / JPEG
+            if fmt == 0:
+                payloads.append(M.encode_bmp(img))
+                mimes.append("image/bmp")
+            elif fmt == 1:
                 payloads.append(M.encode_png(img, filter_type="cycle"))
                 mimes.append("image/png")
             else:
-                payloads.append(M.encode_bmp(img))
-                mimes.append("image/bmp")
+                payloads.append(
+                    M.encode_jpeg(img, quality=92, subsampling="4:2:0")
+                )
+                mimes.append("image/jpeg")
         elif k == "audio":
             rate = 8000
             dur = int(rng.integers(400, 1600))
@@ -89,10 +96,11 @@ def _fake_image_meta(payload: bytes) -> tuple[int, int, int]:
 class ImageDecodeActor:
     """Actor stage: decode image payloads → (width, height, n_channels).
 
-    BMP and PNG payloads decode for real (header/chunk parse, zlib
-    inflate + unfilter for PNG). Other image formats: ``strict=True``
-    raises from the stub (no codec libs in this environment); default
-    falls back to the deterministic fake.
+    BMP, PNG and baseline JPEG payloads decode for real (header/chunk
+    parse; zlib inflate + unfilter for PNG; Huffman + IDCT for JPEG).
+    Other formats: ``strict=True`` raises from the stub (no codec libs
+    in this environment); default falls back to the deterministic
+    fake.
     Use SMALL ``batch_size`` (wide binary rows; SURVEY.md §7)."""
 
     def __init__(self, strict: bool = False):
@@ -111,6 +119,9 @@ class ImageDecodeActor:
             return (w, h, c)
         if kind == "png":
             w, h, c, _ = M.decode_png(payload)
+            return (w, h, c)
+        if kind == "jpeg":
+            w, h, c, _ = M.decode_jpeg(payload)
             return (w, h, c)
         if self.strict:
             return self._decode_image_real(payload)
@@ -158,8 +169,8 @@ class AudioDecodeActor:
 
 
 class MediaFeatureActor:
-    """Actor stage: payload → feature vector. BMP/PNG/WAV payloads get
-    REAL features (image statistics / DSP); other formats fall back to
+    """Actor stage: payload → feature vector. BMP/PNG/JPEG/WAV payloads
+    get REAL features (image statistics / DSP); other formats fall back to
     the deterministic hash fake (or raise under strict). A real
     encoder model drops into ``_embed_real``."""
 
@@ -177,6 +188,9 @@ class MediaFeatureActor:
             return M.image_features(img, self.dim)
         if kind == "png":
             _, _, _, img = M.decode_png(payload)
+            return M.image_features(img, self.dim)
+        if kind == "jpeg":
+            _, _, _, img = M.decode_jpeg(payload)
             return M.image_features(img, self.dim)
         if kind == "wav":
             rate, data = M.decode_wav(payload)
