@@ -32,6 +32,10 @@ import wave
 
 import numpy as np
 
+from knowledge_graph_ray.functions.gif import (  # noqa: F401 (re-export)
+    decode_gif,
+    encode_gif,
+)
 from knowledge_graph_ray.functions.jpeg import (  # noqa: F401 (re-export)
     decode_jpeg,
     encode_jpeg,
@@ -286,14 +290,16 @@ def audio_features(samples: np.ndarray, sample_rate: int, dim: int = 32) -> np.n
 
 
 def sniff_media(payload: bytes) -> str:
-    """Byte-signature dispatch: 'bmp' / 'wav' / 'png' / 'jpeg' /
-    'mp4' / 'unknown'."""
+    """Byte-signature dispatch: 'bmp' / 'wav' / 'png' / 'gif' /
+    'jpeg' / 'mp4' / 'unknown'."""
     if payload[:2] == b"BM":
         return "bmp"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "wav"
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return "png"
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
     if payload[:3] == b"\xff\xd8\xff":
         return "jpeg"
     if payload[4:8] == b"ftyp":

@@ -71,6 +71,20 @@ def synth_media_table(n: int = 24, seed: int = 42) -> pa.Table:
                 M.encode_wav((np.clip(x, -1, 1) * 32767).astype(np.int16), rate)
             )
             mimes.append("audio/wav")
+        elif k == "video" and (i // 3) % 2:
+            # real animated GIF: 4 frames of palette-exact noise
+            from knowledge_graph_ray.functions.gif import encode_gif
+
+            rr, gg, bb = np.meshgrid(
+                np.linspace(0, 255, 6), np.linspace(0, 255, 7), np.linspace(0, 255, 6)
+            )
+            pal = np.stack([rr, gg, bb], -1).reshape(-1, 3).astype(np.uint8)
+            fw, fh = int(rng.integers(8, 17)), int(rng.integers(8, 17))
+            frames = [
+                pal[rng.integers(0, len(pal), size=(fh, fw))] for _ in range(4)
+            ]
+            payloads.append(encode_gif(frames))
+            mimes.append("image/gif")
         else:
             size = int(rng.integers(256, 4096))
             body = rng.integers(0, 256, size=size, dtype=np.uint8).tobytes()
@@ -123,6 +137,9 @@ class ImageDecodeActor:
         if kind == "jpeg":
             w, h, c, _ = M.decode_jpeg(payload)
             return (w, h, c)
+        if kind == "gif":
+            w, h, _ = M.decode_gif(payload)
+            return (w, h, 3)
         if self.strict:
             return self._decode_image_real(payload)
         return _fake_image_meta(payload)
@@ -192,6 +209,10 @@ class MediaFeatureActor:
         if kind == "jpeg":
             _, _, _, img = M.decode_jpeg(payload)
             return M.image_features(img, self.dim)
+        if kind == "gif":
+            _, _, frames = M.decode_gif(payload)
+            if frames:
+                return M.image_features(frames[0], self.dim)
         if kind == "wav":
             rate, data = M.decode_wav(payload)
             return M.audio_features(data, rate, self.dim)
@@ -213,26 +234,40 @@ class MediaFeatureActor:
 
 
 class FrameSampleActor:
-    """Actor stage (video): one row in → k frame rows out. Frame
-    extraction is stubbed deterministically (byte slices); the
-    exploded-row plumbing is the real part."""
+    """Actor stage (video/animation): one row in → k frame rows out.
+
+    Animated GIFs are decoded FOR REAL (``functions/gif`` LZW +
+    composition): k frames are sampled evenly from the true frame
+    sequence and re-emitted as standalone PNG payloads, ready for the
+    image stages downstream. MP4 keeps the deterministic byte-slice
+    stub (``strict=True`` raises) — the exploded-row plumbing is
+    identical for both paths."""
 
     def __init__(self, frames_per_video: int = 4, strict: bool = False):
         self.k = frames_per_video
         self.strict = strict
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
+    def frames_of(self, payload: bytes) -> list[bytes]:
+        if M.sniff_media(payload) == "gif":
+            _, _, frames = M.decode_gif(payload)
+            if not frames:
+                return []
+            pick = np.linspace(0, len(frames) - 1, self.k).round().astype(int)
+            return [M.encode_png(frames[i]) for i in pick]
         if self.strict:
             raise NotImplementedError("plug ffmpeg-style frame sampling here")
+        n = max(1, len(payload) // self.k)
+        return [payload[f * n : (f + 1) * n] for f in range(self.k)]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch.column("media_id").to_pylist()
         payloads = batch.column("payload").to_pylist()
         o_id, o_idx, o_payload = [], [], []
         for mid, p in zip(ids, payloads):
-            n = max(1, len(p) // self.k)
-            for f in range(self.k):
+            for f, fp in enumerate(self.frames_of(p)):
                 o_id.append(mid)
                 o_idx.append(f)
-                o_payload.append(p[f * n : (f + 1) * n])
+                o_payload.append(fp)
         return pa.table(
             {
                 "media_id": pa.array(o_id, pa.int64()),
