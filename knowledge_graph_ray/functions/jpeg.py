@@ -1,12 +1,16 @@
-"""Baseline JPEG (ITU T.81 sequential DCT) codec — stdlib + numpy.
+"""JPEG (ITU T.81) codec — stdlib + numpy.
 
 Real byte-level decode for the web's dominant image format: marker
 walk, canonical Huffman tables (DHT), dequantization (DQT), 8×8
 inverse DCT as one precomputed matrix sandwich, chroma upsampling,
-JFIF YCbCr→RGB. Supports 8-bit baseline (SOF0), 1 or 3 components,
-any sampling factors (4:4:4 / 4:2:2 / 4:2:0), restart intervals.
-Progressive (SOF2), arithmetic coding and 12-bit raise a clear
-``ValueError`` → the multimodal stages' quarantine path.
+JFIF YCbCr→RGB. Supports 8-bit baseline (SOF0/1) AND progressive
+(SOF2: spectral selection + successive approximation, DC/AC first
+and refinement scans with EOB runs per T.81 G.1.2), 1 or 3
+components, any sampling factors (4:4:4 / 4:2:2 / 4:2:0), restart
+intervals. Hierarchical/lossless/arithmetic coding and 12-bit raise
+a clear ``ValueError`` → the multimodal stages' quarantine path.
+Decode validated against real libjpeg-produced files on disk (both
+baseline and progressive).
 
 The encoder emits baseline 4:4:4 with the Annex K example quant +
 Huffman tables (scaled by a quality factor, the libjpeg convention),
@@ -236,13 +240,17 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, np.ndarray]:
     huff: dict[tuple[int, int], dict] = {}
     frame = None
     restart = 0
-    while pos + 4 <= len(payload):
+    progressive = False
+    coefs = None
+    while pos + 2 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("bad JPEG marker stream")
         marker = payload[pos + 1]
         pos += 2
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             continue
+        if marker == 0xD9:  # EOI carries no length segment
+            break
         (seglen,) = struct.unpack_from(">H", payload, pos)
         seg = payload[pos + 2 : pos + seglen]
         pos += seglen
@@ -266,7 +274,7 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, np.ndarray]:
                 vals = list(seg[off + 17 : off + 17 + nval])
                 huff[(tc, th)] = _build_huffman(bits, vals)
                 off += 17 + nval
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             prec, h, w, ncomp = seg[0], *struct.unpack_from(">HH", seg, 1), seg[5]
             if prec != 8:
                 raise ValueError("only 8-bit JPEG supported")
@@ -275,8 +283,12 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, np.ndarray]:
                 cid, samp, tq = seg[6 + 3 * i : 9 + 3 * i]
                 comps.append({"id": cid, "h": samp >> 4, "v": samp & 15, "tq": tq})
             frame = (w, h, comps)
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
-            raise ValueError(f"non-baseline JPEG (SOF{marker - 0xC0}) unsupported")
+            progressive = marker == 0xC2
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise ValueError(
+                f"JPEG coding process SOF{marker - 0xC0} unsupported "
+                "(baseline + progressive Huffman only)"
+            )
         elif marker == 0xDD:  # DRI
             (restart,) = struct.unpack(">H", seg[:2])
         elif marker == 0xDA:  # SOS — entropy data follows
@@ -287,8 +299,19 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, np.ndarray]:
             for i in range(ns):
                 cs, tt = seg[1 + 2 * i], seg[2 + 2 * i]
                 scan.append((cs, tt >> 4, tt & 15))
-            return _decode_scan(payload, pos, frame, scan, qt, huff, restart)
+            if not progressive:
+                return _decode_scan(payload, pos, frame, scan, qt, huff, restart)
+            if coefs is None:
+                coefs = _alloc_coefs(frame)
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            pos = _progressive_scan(
+                payload, pos, frame, scan, coefs, huff, restart,
+                ss, se, ahal >> 4, ahal & 15,
+            )
         # APPn / COM / others: skipped
+    if progressive and coefs is not None:
+        return _reconstruct_from_coefs(frame, coefs, qt)
     raise ValueError("JPEG truncated before SOS")
 
 
@@ -356,6 +379,212 @@ def _decode_scan(data, pos, frame, scan, qt, huff, restart):
         img = np.clip(out[0], 0, 255)[:, :, None]
         return w, h, 1, img.astype(np.uint8)
     y, cb, cr = out[0], out[1] - 128, out[2] - 128
+    rgb = np.stack(
+        [y + 1.402 * cr, y - 0.344136 * cb - 0.714136 * cr, y + 1.772 * cb],
+        axis=2,
+    )
+    return w, h, 3, np.clip(rgb, 0, 255).astype(np.uint8)
+
+
+# ------------------------------------------------- progressive decode
+
+
+def _geometry(frame):
+    w, h, comps = frame
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    return hmax, vmax, mcux, mcuy
+
+
+def _alloc_coefs(frame):
+    """Per-component DCT coefficient store: (blocks_y, blocks_x, 64)."""
+    _, _, comps = frame
+    hmax, vmax, mcux, mcuy = _geometry(frame)
+    return [
+        np.zeros((mcuy * c["v"], mcux * c["h"], 64), dtype=np.int32)
+        for c in comps
+    ]
+
+
+def _progressive_scan(
+    data, pos, frame, scan, coefs, huff, restart, ss, se, ah, al
+):
+    """One SOS of a progressive stream → updated coefficients; returns
+    the stream position of the next marker. Spectral selection +
+    successive approximation per T.81 G.1.2 (DC first/refine, AC
+    first/refine with EOB runs)."""
+    w, h, comps = frame
+    hmax, vmax, mcux, mcuy = _geometry(frame)
+    idxs = []
+    dc_tab, ac_tab = {}, {}
+    for cs, td, ta in scan:
+        for i, c in enumerate(comps):
+            if c["id"] == cs:
+                idxs.append(i)
+                if ss == 0:
+                    dc_tab[i] = huff[(0, td)]
+                else:
+                    ac_tab[i] = huff[(1, ta)]
+    br = _BitReader(data, pos)
+    pred = {i: 0 for i in idxs}
+    eobrun = 0
+    p1, m1 = 1 << al, -1 << al
+
+    def dc_block(ci, blk):
+        if ah == 0:
+            s = br.decode_symbol(dc_tab[ci])
+            diff = _extend(br.read_bits(s), s) if s else 0
+            pred[ci] += diff
+            blk[0] = pred[ci] << al
+        else:
+            if br.read_bit():
+                blk[0] |= p1
+
+    def ac_first(ci, blk):
+        nonlocal eobrun
+        if eobrun > 0:
+            eobrun -= 1
+            return
+        k = ss
+        while k <= se:
+            rs = br.decode_symbol(ac_tab[ci])
+            r, s = rs >> 4, rs & 15
+            if s == 0:
+                if r < 15:
+                    eobrun = (1 << r) - 1
+                    if r:
+                        eobrun += br.read_bits(r)
+                    return
+                k += 16  # ZRL
+                continue
+            k += r
+            if k > se:
+                raise ValueError("JPEG progressive AC run overflow")
+            blk[ZIGZAG[k]] = _extend(br.read_bits(s), s) << al
+            k += 1
+
+    def ac_refine(ci, blk):
+        # T.81 G.1.2.3: correction bits for already-nonzero history,
+        # new ±1<<al coefficients placed after the coded zero runs
+        nonlocal eobrun
+        k = ss
+        if eobrun == 0:
+            while k <= se:
+                rs = br.decode_symbol(ac_tab[ci])
+                r, s = rs >> 4, rs & 15
+                newval = 0
+                if s == 0:
+                    if r < 15:
+                        eobrun = (1 << r)
+                        if r:
+                            eobrun += br.read_bits(r)
+                        break
+                else:
+                    newval = p1 if br.read_bit() else m1
+                while k <= se:
+                    z = ZIGZAG[k]
+                    if blk[z] != 0:
+                        if br.read_bit() and (blk[z] & p1) == 0:
+                            blk[z] += p1 if blk[z] >= 0 else m1
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if newval and k <= se:
+                    blk[ZIGZAG[k]] = newval
+                k += 1
+        if eobrun > 0:
+            while k <= se:
+                z = ZIGZAG[k]
+                if blk[z] != 0 and br.read_bit() and (blk[z] & p1) == 0:
+                    blk[z] += p1 if blk[z] >= 0 else m1
+                k += 1
+            eobrun -= 1
+
+    def do_block(ci, blk):
+        if ss == 0:
+            dc_block(ci, blk)
+        elif ah == 0:
+            ac_first(ci, blk)
+        else:
+            ac_refine(ci, blk)
+
+    unit = 0
+
+    def maybe_restart():
+        nonlocal unit, eobrun
+        if restart and unit and unit % restart == 0:
+            br.sync_restart()
+            for i in idxs:
+                pred[i] = 0
+            eobrun = 0
+        unit += 1
+
+    if len(idxs) > 1 or (ss == 0 and len(scan) == len(comps)):
+        # interleaved (DC scans over all components): MCU order
+        for my in range(mcuy):
+            for mx in range(mcux):
+                maybe_restart()
+                for ci in idxs:
+                    c = comps[ci]
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            do_block(
+                                ci,
+                                coefs[ci][my * c["v"] + by, mx * c["h"] + bx],
+                            )
+    else:
+        # non-interleaved: raster over the component's OWN block grid,
+        # sized from its downsampled sample dimensions (T.81 A.2.2)
+        ci = idxs[0]
+        c = comps[ci]
+        nbw = (-(-w * c["h"] // hmax) + 7) // 8
+        nbh = (-(-h * c["v"] // vmax) + 7) // 8
+        for by in range(nbh):
+            for bx in range(nbw):
+                maybe_restart()
+                do_block(ci, coefs[ci][by, bx])
+    # skip to the next marker (pad bits, then FF xx non-stuffed)
+    pos = br.pos
+    d = data
+    while pos + 1 < len(d):
+        if d[pos] == 0xFF and d[pos + 1] != 0x00:
+            if 0xD0 <= d[pos + 1] <= 0xD7:
+                pos += 2
+                continue
+            return pos
+        pos += 1
+    return len(d)
+
+
+def _reconstruct_from_coefs(frame, coefs, qt):
+    w, h, comps = frame
+    hmax, vmax, _, _ = _geometry(frame)
+    planes = []
+    for ci, c in enumerate(comps):
+        q = qt[c["tq"]].ravel()
+        arr = coefs[ci]
+        nby, nbx, _ = arr.shape
+        # vectorized dequant + IDCT over ALL blocks of the component:
+        # (nby*nbx, 8, 8) batched matrix sandwich
+        blocks = (arr.reshape(-1, 64) * q).reshape(-1, 8, 8).astype(np.float64)
+        spat = np.einsum("ij,njk,kl->nil", _C.T, blocks, _C) + 128
+        plane = (
+            spat.reshape(nby, nbx, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(nby * 8, nbx * 8)
+        )
+        ry, rx = vmax // c["v"], hmax // c["h"]
+        if ry > 1 or rx > 1:
+            plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
+        planes.append(plane[:h, :w])
+    if len(planes) == 1:
+        img = np.clip(planes[0], 0, 255)[:, :, None]
+        return w, h, 1, img.astype(np.uint8)
+    y, cb, cr = planes[0], planes[1] - 128, planes[2] - 128
     rgb = np.stack(
         [y + 1.402 * cr, y - 0.344136 * cb - 0.714136 * cr, y + 1.772 * cb],
         axis=2,

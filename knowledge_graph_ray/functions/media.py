@@ -11,10 +11,11 @@ formats a stdlib+numpy sandbox CAN genuinely decode:
   stdlib ``zlib`` inflate, all five scanline filters (None/Sub/Up/
   Average/Paeth) un-applied per the spec, plus an encoder that can
   exercise every filter type.
-- Baseline JPEG (``functions/jpeg`` — re-exported here): Huffman
-  entropy decode, dequant + matrix IDCT, 4:2:0 upsampling, restart
-  intervals; validated against a real libjpeg-produced file.
-  Progressive / arithmetic variants raise into the quarantine path.
+- JPEG (``functions/jpeg`` — re-exported here): baseline AND
+  progressive (spectral selection + successive approximation) Huffman
+  decode, dequant + matrix IDCT, 4:2:0 upsampling, restart intervals;
+  validated against real libjpeg-produced files of both kinds.
+  Lossless / arithmetic variants raise into the quarantine path.
 
 MP4 needs an H.264 codec that is NOT in this container — video
 payloads keep the declared stub path in stages/multimodal.
