@@ -190,8 +190,8 @@ def test_png_unsupported_variants_raise():
     from knowledge_graph_ray.functions import media as M
 
     sig = b"\x89PNG\r\n\x1a\n"
-    # 16-bit depth header must be refused, not mis-decoded
-    ihdr = struct.pack(">IIBBBBB", 4, 4, 16, 2, 0, 0, 0)
+    # invalid color type 5 must be refused, not mis-decoded
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 5, 0, 0, 0)
     chunk = struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr + struct.pack(
         ">I", zlib.crc32(b"IHDR" + ihdr)
     )
@@ -199,3 +199,27 @@ def test_png_unsupported_variants_raise():
         M.decode_png(sig + chunk)
     with pytest.raises(ValueError, match="not a PNG"):
         M.decode_png(b"JUNK")
+
+
+def test_png_real_world_variants_decode():
+    # palette (2/4/8-bit), gray, gray+alpha, RGBA, Adam7 — one real
+    # system file per variant where present
+    import glob
+    import struct
+
+    from knowledge_graph_ray.functions.media import decode_png, image_features
+
+    by_kind = {}
+    for f in glob.glob("/usr/share/**/*.png", recursive=True):
+        head = open(f, "rb").read(29)
+        if head[:8] != b"\x89PNG\r\n\x1a\n" or len(head) < 29:
+            continue
+        _, _, depth, ct, _, _, il = struct.unpack(">IIBBBBB", head[16:29])
+        by_kind.setdefault((depth, ct, il), f)
+    if not by_kind:
+        pytest.skip("no system PNGs on this host")
+    for (depth, ct, il), f in sorted(by_kind.items()):
+        w, h, c, img = decode_png(open(f, "rb").read())
+        assert img.shape[:2] == (h, w) and img.dtype == np.uint8
+        fv = image_features(img)
+        assert abs(float(np.linalg.norm(fv)) - 1.0) < 1e-5, (depth, ct, il)
