@@ -1538,6 +1538,26 @@ def q_media_features(sf_dir: str) -> Dataset:
     return feats.drop_columns(["payload", "embedding"])
 
 
+def q_media_frames(sf_dir: str) -> Dataset:
+    """Video/animation frame sampling: animated GIF rows decode to
+    their TRUE frames (functions/gif LZW + composition), re-emitted
+    as standalone PNGs; mp4 rows take the declared byte-slice stub.
+    Rows-only check (binary decode is non-SQL); per-frame PNG dims
+    are verified to match the GIF canvas in pytest."""
+    from knowledge_graph_ray.stages import multimodal as mm
+
+    ds = rd.from_arrow(mm.synth_media_table(48))
+    _, frames, _ = mm.media_pipeline(ds, concurrency=(1, 2), batch_size=8)
+
+    def sizes(batch: pa.Table) -> pa.Table:
+        lens = [len(p) for p in batch.column("payload").to_pylist()]
+        return batch.drop_columns(["payload"]).append_column(
+            "payload_bytes", pa.array(lens, pa.int64())
+        )
+
+    return frames.map_batches(sizes, batch_format="pyarrow")
+
+
 def q_media_audio_features(sf_dir: str) -> Dataset:
     """REAL audio path: RIFF/WAV PCM decode (stdlib byte format) +
     DSP features (RMS/ZCR/spectral centroid) in an actor pool."""
@@ -1942,6 +1962,7 @@ QUERIES = {
     "udf_rephrase": q_udf_rephrase,
     "media_features": q_media_features,
     "media_audio_features": q_media_audio_features,
+    "media_frames": q_media_frames,
     "semantic_paragraphs": q_semantic_paragraphs,
     "pdf_corpus_extract": q_pdf_corpus_extract,
 }

@@ -22,6 +22,7 @@ ROWS_ONLY = [
     "pdf_corpus_extract",
     "docs_wordpiece",
     "media_audio_features",
+    "media_frames",
 ]
 
 MUST_HAVE_ROWS = {"kg_flagship", "mention_canonicalization",
