@@ -129,3 +129,61 @@ def test_ivf_matches_bruteforce_topk_on_clustered_data(ray_session):
     b = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in brute}
     v = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in ivf}
     assert b == v  # tight clusters → IVF exact
+
+
+# --------------------------------------------------- media codec laws
+
+
+@given(
+    st.integers(1, 24),
+    st.integers(1, 24),
+    st.sampled_from([1, 3, 4]),
+    st.sampled_from([0, 1, 2, 3, 4, "cycle"]),
+    st.integers(0, 2**32 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_png_roundtrip_is_lossless(h, w, ch, ft, seed):
+    from knowledge_graph_ray.functions.media import decode_png, encode_png
+
+    img = np.random.default_rng(seed).integers(0, 256, (h, w, ch), dtype=np.uint8)
+    _, _, _, back = decode_png(encode_png(img, filter_type=ft))
+    assert (back == img).all()
+
+
+@given(st.integers(1, 16), st.integers(1, 16), st.integers(1, 4), st.integers(0, 2**32 - 1))
+@settings(max_examples=25, deadline=None)
+def test_gif_roundtrip_is_lossless_on_palette_colors(h, w, nframes, seed):
+    from knowledge_graph_ray.functions.gif import decode_gif, encode_gif
+
+    rng = np.random.default_rng(seed)
+    r, g, b = np.meshgrid(
+        np.linspace(0, 255, 6), np.linspace(0, 255, 7), np.linspace(0, 255, 6)
+    )
+    pal = np.stack([r, g, b], axis=-1).reshape(-1, 3).astype(np.uint8)
+    frames = [pal[rng.integers(0, len(pal), size=(h, w))] for _ in range(nframes)]
+    gw, gh, out = decode_gif(encode_gif(frames))
+    assert (gw, gh, len(out)) == (w, h, nframes)
+    for a, b2 in zip(frames, out):
+        assert (a == b2).all()
+
+
+@given(
+    st.integers(1, 20),
+    st.integers(1, 20),
+    st.sampled_from([1, 3]),
+    st.sampled_from(["4:4:4", "4:2:0"]),
+    st.integers(0, 2**32 - 1),
+)
+@settings(max_examples=25, deadline=None)
+def test_jpeg_roundtrip_never_raises_and_bounds_error(h, w, ch, sub, seed):
+    from knowledge_graph_ray.functions.jpeg import decode_jpeg, encode_jpeg
+
+    img = np.random.default_rng(seed).integers(0, 256, (h, w, ch), dtype=np.uint8)
+    dw, dh, dc, out = decode_jpeg(encode_jpeg(img, quality=95, subsampling=sub))
+    assert (dw, dh) == (w, h) and out.shape == (h, w, ch if ch == 3 else 1)
+    # quantization error at q95 is bounded — worst-case uniform noise
+    # stays far from the 255 ceiling (a structural decode bug does not);
+    # 4:2:0 legitimately averages adjacent pixels' chroma, so its bound
+    # is looser (extreme-chroma neighbors share one chroma sample)
+    err = np.abs(out.astype(int).reshape(h, w, -1) - img.astype(int).reshape(h, w, -1))
+    assert err.mean() < (80 if sub == "4:2:0" else 40)
