@@ -29,6 +29,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+import ray
 from ray.data import Dataset
 
 from knowledge_graph_ray.functions.hashing import hash64_array
@@ -157,6 +158,214 @@ def connected_components(
         )
 
     return labels.map_batches(finish, batch_format="pyarrow")
+
+
+@ray.remote
+class _PregelWorker:
+    """Partition-pinned vertex-program worker (the raw-Ray scale path).
+
+    Holds one hash bucket's edges AND label state for the whole run —
+    the Dataset-API loop above must re-shuffle the static edge set
+    through ``groupby(_bucket)`` every iteration because Ray Data
+    cannot exploit prior partitioning; here edges are shuffled ONCE at
+    load and each superstep moves only the (node, label) messages, the
+    classic Pregel cost model. Messages travel as per-target-bucket
+    Arrow tables in the object store; the driver only routes refs."""
+
+    def __init__(self, bucket: int, num_buckets: int):
+        self.bucket = bucket
+        self.n = num_buckets
+        self.adj: pd.DataFrame | None = None  # (src, dst) with src in bucket
+        self.labels: pd.Series | None = None  # node → comp, nodes in bucket
+
+    def load(self, *edge_parts: pa.Table) -> int:
+        dfs = [t.to_pandas() for t in edge_parts if t.num_rows]
+        self.adj = (
+            pd.concat(dfs, ignore_index=True)
+            if dfs
+            else pd.DataFrame({"src": [], "dst": []}, dtype="int64")
+        )
+        # initial label: min(node, min neighbour) over local edges
+        m = self.adj.groupby("src")["dst"].min() if len(self.adj) else pd.Series(
+            dtype="int64"
+        )
+        nodes = m.index.to_numpy(np.int64)
+        self.labels = pd.Series(
+            np.minimum(nodes, m.to_numpy(np.int64)), index=nodes
+        )
+        return int(self.labels.sum()) if len(self.labels) else 0
+
+    def step(self, *msg_parts: pa.Table) -> list:
+        """One superstep. Incoming rows carry ``kind``: 0 = min-label
+        message for a node owned here; 1 = pointer-jump REQUEST
+        ("node" is a root owned here, "label" is the asking node).
+        Apply mins, answer requests from CURRENT labels (the asking
+        node learns comp(comp(v)) — O(log d) chain compression), then
+        emit edge propagation + fresh requests.
+        Returns [sum_delta, msgs×n]."""
+        inc = [t.to_pandas() for t in msg_parts if t is not None and t.num_rows]
+        old = self.labels
+        old_sum = int(old.sum()) if len(old) else 0
+        replies = None
+        mins = []
+        if inc:
+            allm = pd.concat(inc, ignore_index=True)
+            req = allm[allm["kind"] == 1]
+            if len(req):
+                # reply with the root's own current label
+                root_lab = old.reindex(req["node"].to_numpy(np.int64))
+                ok = root_lab.notna().to_numpy()
+                replies = pd.DataFrame(
+                    {
+                        "node": req["label"].to_numpy(np.int64)[ok],
+                        "label": root_lab.to_numpy()[ok].astype(np.int64),
+                        "kind": np.int8(0),
+                    }
+                )
+            mm = allm[allm["kind"] == 0]
+            if len(mm):
+                mins.append(mm.groupby("node")["label"].min())
+        if mins:
+            m = mins[0][mins[0].index.isin(old.index)]
+            self.labels = pd.concat([old, m]).groupby(level=0).min()
+        new_sum = int(self.labels.sum()) if len(self.labels) else 0
+        out: list = [new_sum - old_sum]
+        parts = []
+        # propagate: each local edge src→dst carries comp(src)
+        if len(self.adj):
+            lab = self.labels.reindex(self.adj["src"].to_numpy(np.int64))
+            parts.append(
+                pd.DataFrame(
+                    {
+                        "node": self.adj["dst"].to_numpy(np.int64),
+                        "label": lab.to_numpy(np.int64),
+                        "kind": np.int8(0),
+                    }
+                )
+            )
+        # pointer-jump request: every non-root node asks its root
+        nonroot = self.labels[self.labels != self.labels.index]
+        if len(nonroot):
+            parts.append(
+                pd.DataFrame(
+                    {
+                        "node": nonroot.to_numpy(np.int64),
+                        "label": nonroot.index.to_numpy(np.int64),
+                        "kind": np.int8(1),
+                    }
+                )
+            )
+        if replies is not None:
+            parts.append(replies)
+        msgs = (
+            pd.concat(parts, ignore_index=True)
+            if parts
+            else pd.DataFrame(
+                {"node": pd.Series([], dtype="int64"),
+                 "label": pd.Series([], dtype="int64"),
+                 "kind": pd.Series([], dtype="int8")}
+            )
+        )
+        buckets = hash64_array(msgs["node"].to_numpy(np.int64)) % self.n
+        for b in range(self.n):
+            part = msgs[buckets == b]
+            # combine min-messages per node; requests pass through
+            m0 = part[part["kind"] == 0]
+            m0 = m0.groupby("node", sort=False, as_index=False)["label"].min()
+            m0["kind"] = np.int8(0)
+            m1 = part[part["kind"] == 1].drop_duplicates()
+            out.append(
+                pa.Table.from_pandas(
+                    pd.concat([m0, m1], ignore_index=True), preserve_index=False
+                )
+            )
+        return out
+
+    def result(self) -> pa.Table:
+        return pa.table(
+            {
+                "node": pa.array(self.labels.index.to_numpy(np.int64)),
+                "comp": pa.array(self.labels.to_numpy(np.int64)),
+            }
+        )
+
+
+def connected_components_pregel(
+    pairs: Dataset,
+    *,
+    a: str = "a",
+    b: str = "b",
+    num_buckets: int = 8,
+    max_iters: int = 50,
+) -> Dataset:
+    """Same (node, comp) result as ``connected_components``, computed
+    by partition-pinned actors: the edge set is hash-shuffled ONCE at
+    load; each superstep ships only node-proportional min-label
+    messages between buckets (object-store refs routed by the driver,
+    never fetched to it). This is the documented raw-Ray escape hatch
+    for iterative graph state the Dataset API re-shuffles per round.
+
+    Partitioning assumption (100 TB): ``num_buckets`` ≥ cluster cores;
+    a bucket holds its share of edges in worker memory — size buckets
+    so edges/bucket fit, exactly like any Pregel system."""
+
+    if num_buckets < 2:
+        raise ValueError("connected_components_pregel needs num_buckets >= 2")
+
+    empty = pa.table(
+        {"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())}
+    )
+
+    # manual one-time shuffle: each input block → num_buckets sub-tables
+    @ray.remote
+    def bucketize(block) -> list:
+        if isinstance(block, pd.DataFrame):
+            block = pa.Table.from_pandas(block, preserve_index=False)
+        if block.num_rows == 0 or a not in block.column_names:
+            return [empty] * num_buckets
+        src = pa.concat_arrays(
+            [block.column(a).combine_chunks(), block.column(b).combine_chunks()]
+        ).cast(pa.int64())
+        dst = pa.concat_arrays(
+            [block.column(b).combine_chunks(), block.column(a).combine_chunks()]
+        ).cast(pa.int64())
+        t = pa.table({"src": src, "dst": dst})
+        buckets = hash64_array(src.to_numpy(zero_copy_only=False)) % num_buckets
+        return [t.filter(pa.array(buckets == i)) for i in range(num_buckets)]
+
+    parts = [
+        bucketize.options(num_returns=num_buckets).remote(ref)
+        for ref in pairs.to_arrow_refs()
+    ]
+    workers = [
+        _PregelWorker.remote(i, num_buckets) for i in range(num_buckets)
+    ]
+    ray.get(
+        [w.load.remote(*[row[i] for row in parts]) for i, w in enumerate(workers)]
+    )
+
+    # supersteps: first round has no incoming messages, so its delta
+    # is trivially 0 — and replies lag requests by one round, so a
+    # single zero-delta round is not yet a fixpoint: stop on TWO
+    # consecutive zero rounds (state provably cannot change again)
+    inbox: list[list] = [[] for _ in range(num_buckets)]
+    zero_rounds = 0
+    for it in range(max_iters):
+        outs = [
+            w.step.options(num_returns=num_buckets + 1).remote(*inbox[i])
+            for i, w in enumerate(workers)
+        ]
+        deltas = ray.get([o[0] for o in outs])
+        inbox = [
+            [outs[s][1 + t] for s in range(num_buckets)]
+            for t in range(num_buckets)
+        ]
+        zero_rounds = zero_rounds + 1 if (it > 0 and sum(deltas) == 0) else 0
+        if zero_rounds >= 2:
+            break
+    import ray.data as rd
+
+    return rd.from_arrow_refs([w.result.remote() for w in workers])
 
 
 def component_drops(components: Dataset) -> Dataset:

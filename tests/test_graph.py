@@ -118,3 +118,73 @@ def test_transitive_drops_matches_driver_union_find(ray_session):
         for r in dedup.transitive_drops(pairs, num_buckets=4).take_all()
     }
     assert got == expected == {2, 3, 11}
+
+
+def _cc_both(tbl, **kw):
+    from knowledge_graph_ray.functions.graph import (
+        connected_components,
+        connected_components_pregel,
+    )
+
+    ds = rd.from_arrow(tbl)
+    ref = (
+        connected_components(ds, num_buckets=4)
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    got = (
+        connected_components_pregel(rd.from_arrow(tbl), num_buckets=4, **kw)
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    return ref, got
+
+
+def test_pregel_cc_matches_dataset_on_long_chain(ray_session):
+    # 60-node path: converges only if pointer-jump request/reply works
+    # (plain propagation needs diameter rounds > max_iters tested here)
+    n = 60
+    tbl = pa.table(
+        {
+            "a": pa.array(list(range(n - 1)), pa.int64()),
+            "b": pa.array(list(range(1, n)), pa.int64()),
+        }
+    )
+    ref, got = _cc_both(tbl)
+    assert ref.equals(got)
+    assert set(got["comp"]) == {0}
+
+
+def test_pregel_cc_matches_dataset_on_random_graph(ray_session):
+    rng = np.random.default_rng(0)
+    aa = rng.integers(0, 200, 300)
+    bb = rng.integers(0, 200, 300)
+    mask = aa != bb
+    tbl = pa.table(
+        {"a": pa.array(aa[mask], pa.int64()), "b": pa.array(bb[mask], pa.int64())}
+    )
+    ref, got = _cc_both(tbl)
+    assert ref.equals(got)
+
+
+def test_pregel_transitive_drops_engine_parity(ray_session):
+    from knowledge_graph_ray.functions import dedup
+
+    pairs = rd.from_arrow(
+        pa.table(
+            {
+                "a": pa.array([1, 2, 10], pa.int64()),
+                "b": pa.array([2, 3, 11], pa.int64()),
+            }
+        )
+    )
+    for engine in ("pregel", "dataset"):
+        got = {
+            r["node"]
+            for r in dedup.transitive_drops(
+                pairs, num_buckets=4, engine=engine
+            ).take_all()
+        }
+        assert got == {2, 3, 11}, engine
