@@ -375,6 +375,222 @@ def component_drops(components: Dataset) -> Dataset:
     ).select_columns(["node"])
 
 
+@ray.remote
+class _PageRankWorker:
+    """Partition-pinned PageRank worker: holds one bucket's out-edges
+    (with out-degrees) and the ranks of the nodes hashed here; each
+    superstep ships only (dst, contribution) float messages."""
+
+    def __init__(self, bucket: int, num_buckets: int):
+        self.bucket = bucket
+        self.n = num_buckets
+        self.adj: pd.DataFrame | None = None
+        self.nodes: np.ndarray | None = None
+        self.ranks: pd.Series | None = None
+
+    def load(self, *edge_parts: pa.Table) -> list:
+        """Store local edges + out-degrees; emit the dst-node universe
+        registrations for other buckets. Returns [n_local_srcs,
+        regs×n]."""
+        dfs = [t.to_pandas() for t in edge_parts if t.num_rows]
+        self.adj = (
+            pd.concat(dfs, ignore_index=True)
+            if dfs
+            else pd.DataFrame({"src": [], "dst": []}, dtype="int64")
+        )
+        if len(self.adj):
+            self.adj["outdeg"] = self.adj.groupby("src")["src"].transform(
+                "size"
+            ).astype("int64")
+        else:
+            self.adj["outdeg"] = pd.Series([], dtype="int64")
+        srcs = np.unique(self.adj["src"].to_numpy(np.int64))
+        self.nodes = srcs
+        out: list = [srcs]
+        dsts = np.unique(self.adj["dst"].to_numpy(np.int64))
+        buckets = hash64_array(dsts) % self.n
+        for b in range(self.n):
+            out.append(pa.table({"node": pa.array(dsts[buckets == b])}))
+        return out
+
+    def register(self, *node_parts: pa.Table) -> int:
+        """Union registered dst nodes into the local universe."""
+        extra = [
+            t.column("node").to_numpy(zero_copy_only=False)
+            for t in node_parts
+            if t.num_rows
+        ]
+        mine = hash64_array(np.concatenate(extra)) % self.n if extra else None
+        if extra:
+            allx = np.concatenate(extra)
+            self.nodes = np.unique(np.concatenate([self.nodes, allx[mine == self.bucket]]))
+        return int(len(self.nodes))
+
+    def init_ranks(self, n_total: int):
+        self.n_total = n_total
+        self.ranks = pd.Series(
+            np.full(len(self.nodes), 1.0 / n_total), index=self.nodes
+        )
+
+    def step(self, damping: float, *contrib_parts: pa.Table) -> list:
+        """Apply incoming contribution sums, then emit next-round
+        contributions along local edges. Returns [None, msgs×n]."""
+        base = (1.0 - damping) / self.n_total
+        inc = [t.to_pandas() for t in contrib_parts if t is not None and t.num_rows]
+        if inc:
+            sums = (
+                pd.concat(inc, ignore_index=True).groupby("node")["c"].sum()
+            )
+            incoming = sums.reindex(self.ranks.index, fill_value=0.0)
+        else:
+            incoming = pd.Series(0.0, index=self.ranks.index)
+        self.ranks = base + damping * incoming
+        out: list = [None]
+        if len(self.adj):
+            lab = self.ranks.reindex(self.adj["src"].to_numpy(np.int64))
+            msgs = pd.DataFrame(
+                {
+                    "node": self.adj["dst"].to_numpy(np.int64),
+                    "c": lab.to_numpy(np.float64)
+                    / self.adj["outdeg"].to_numpy(np.float64),
+                }
+            )
+        else:
+            msgs = pd.DataFrame(
+                {"node": pd.Series([], dtype="int64"),
+                 "c": pd.Series([], dtype="float64")}
+            )
+        buckets = hash64_array(msgs["node"].to_numpy(np.int64)) % self.n
+        for b in range(self.n):
+            part = msgs[buckets == b]
+            m = part.groupby("node", sort=False, as_index=False)["c"].sum()
+            out.append(pa.Table.from_pandas(m, preserve_index=False))
+        return out
+
+    def _initial_msgs(self) -> list:
+        """Round-0 contributions from the uniform initial ranks."""
+        out: list = []
+        if len(self.adj):
+            r0 = 1.0 / self.n_total
+            msgs = pd.DataFrame(
+                {
+                    "node": self.adj["dst"].to_numpy(np.int64),
+                    "c": r0 / self.adj["outdeg"].to_numpy(np.float64),
+                }
+            )
+        else:
+            msgs = pd.DataFrame(
+                {"node": pd.Series([], dtype="int64"),
+                 "c": pd.Series([], dtype="float64")}
+            )
+        buckets = hash64_array(msgs["node"].to_numpy(np.int64)) % self.n
+        for b in range(self.n):
+            part = msgs[buckets == b]
+            m = part.groupby("node", sort=False, as_index=False)["c"].sum()
+            out.append(pa.Table.from_pandas(m, preserve_index=False))
+        return out
+
+    def result(self) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "node": pa.array(self.ranks.index.to_numpy(np.int64)),
+                "pr": pc.round(
+                    pa.array(self.ranks.to_numpy(np.float64)), ndigits=9
+                ),
+            }
+        )
+
+
+def pagerank_pregel(
+    edges: Dataset,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 5,
+    damping: float = 0.85,
+    num_buckets: int = 8,
+) -> Dataset:
+    """Same recurrence (and SQL twin) as ``pagerank``, computed by
+    partition-pinned actors: edges + out-degrees shuffled once at
+    load, each of the ``iters`` supersteps ships only per-bucket
+    (dst, contribution) partial sums. Raw-Ray escape hatch for the
+    iterative re-shuffle, exactly like ``connected_components_pregel``."""
+    if num_buckets < 2:
+        raise ValueError("pagerank_pregel needs num_buckets >= 2")
+
+    empty = pa.table(
+        {"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())}
+    )
+
+    @ray.remote
+    def bucketize(block) -> list:
+        if isinstance(block, pd.DataFrame):
+            block = pa.Table.from_pandas(block, preserve_index=False)
+        if block.num_rows == 0 or src not in block.column_names:
+            return [empty] * num_buckets
+        t = pa.table(
+            {
+                "src": block.column(src).cast(pa.int64()),
+                "dst": block.column(dst).cast(pa.int64()),
+            }
+        )
+        buckets = hash64_array(
+            t.column("src").to_numpy(zero_copy_only=False)
+        ) % num_buckets
+        return [t.filter(pa.array(buckets == i)) for i in range(num_buckets)]
+
+    parts = [
+        bucketize.options(num_returns=num_buckets).remote(ref)
+        for ref in edges.to_arrow_refs()
+    ]
+    workers = [
+        _PageRankWorker.remote(i, num_buckets) for i in range(num_buckets)
+    ]
+    loads = [
+        w.load.options(num_returns=num_buckets + 1).remote(
+            *[row[i] for row in parts]
+        )
+        for i, w in enumerate(workers)
+    ]
+    counts = ray.get(
+        [
+            w.register.remote(*[loads[s][1 + i] for s in range(num_buckets)])
+            for i, w in enumerate(workers)
+        ]
+    )
+    n_total = sum(counts)
+    ray.get([w.init_ranks.remote(n_total) for w in workers])
+
+    inbox = [None] * num_buckets
+    first = True
+    for _ in range(iters):
+        if first:
+            outs0 = [
+                w._initial_msgs.options(num_returns=num_buckets).remote()
+                for w in workers
+            ]
+            inbox = [
+                [outs0[s][t] for s in range(num_buckets)]
+                for t in range(num_buckets)
+            ]
+            first = False
+        outs = [
+            w.step.options(num_returns=num_buckets + 1).remote(
+                damping, *inbox[i]
+            )
+            for i, w in enumerate(workers)
+        ]
+        inbox = [
+            [outs[s][1 + t] for s in range(num_buckets)]
+            for t in range(num_buckets)
+        ]
+    import ray.data as rd
+
+    return rd.from_arrow_refs([w.result.remote() for w in workers])
+
+
 def pagerank(
     edges: Dataset,
     *,

@@ -577,14 +577,10 @@ def q_docs_transitive_dedup(sf_dir: str) -> Dataset:
     ).sort("doc_id")
 
 
-def q_graph_pagerank(sf_dir: str) -> Dataset:
-    """Simplified PageRank over the customer→supplier purchase graph
-    (orders ⋈ lineitem, distinct edges; suppliers offset by 1_000_000
-    into a disjoint id space). Iterative bucketed message passing
-    (functions/graph.py); oracle = the same recurrence unrolled as SQL
-    CTEs."""
-    from knowledge_graph_ray.functions.graph import pagerank
-
+def _purchase_edges(sf_dir: str) -> Dataset:
+    """Distinct customer→supplier edges (orders ⋈ lineitem; suppliers
+    offset by 1_000_000 into a disjoint id space) — shared by both
+    PageRank engines and mirrored by the SQL twin's pedges CTE."""
     orders = _read(sf_dir, "orders").select_columns(["o_orderkey", "o_custkey"])
     li = _read(sf_dir, "lineitem").select_columns(["l_orderkey", "l_suppkey"])
     joined = R.hash_join(
@@ -606,10 +602,31 @@ def q_graph_pagerank(sf_dir: str) -> Dataset:
     edges = joined.map_batches(mk_edges, batch_format="pyarrow").map_batches(
         lambda df: df.drop_duplicates(), batch_format="pandas"
     )
-    edges = R.hash_bucket_agg(
+    return R.hash_bucket_agg(
         edges, ["src", "dst"], lambda df: df.drop_duplicates(), num_buckets=16
     )
-    return pagerank(edges, iters=5, num_buckets=16).sort("node")
+
+
+def q_graph_pagerank(sf_dir: str) -> Dataset:
+    """Simplified PageRank over the customer→supplier purchase graph.
+    Iterative bucketed message passing (functions/graph.py); oracle =
+    the same recurrence unrolled as SQL CTEs."""
+    from knowledge_graph_ray.functions.graph import pagerank
+
+    return pagerank(_purchase_edges(sf_dir), iters=5, num_buckets=16).sort(
+        "node"
+    )
+
+
+def q_graph_pagerank_pregel(sf_dir: str) -> Dataset:
+    """Same purchase-graph PageRank via the partition-pinned actor
+    engine (functions/graph.pagerank_pregel): edges + out-degrees
+    shuffled once, five contribution supersteps — same unrolled-CTE
+    oracle as graph_pagerank."""
+    from knowledge_graph_ray.functions.graph import pagerank_pregel
+
+    edges = _purchase_edges(sf_dir)
+    return pagerank_pregel(edges, iters=5, num_buckets=8).sort("node")
 
 
 def _augmented_embeddings(sf_dir: str) -> Dataset:
@@ -1947,6 +1964,7 @@ QUERIES = {
     "docs_dup_components_pregel": q_docs_dup_components_pregel,
     "docs_transitive_dedup": q_docs_transitive_dedup,
     "graph_pagerank": q_graph_pagerank,
+    "graph_pagerank_pregel": q_graph_pagerank_pregel,
     "docs_split_assign": q_docs_split_assign,
     "docs_pii_scrub": q_docs_pii_scrub,
     "docs_stratified_sample": q_docs_stratified_sample,
@@ -2017,6 +2035,7 @@ ORACLE_SQL = {
     "docs_dup_components_pregel": _cc_sql(threshold=0.6),
     "docs_transitive_dedup": _transitive_dedup_sql(threshold=0.6),
     "graph_pagerank": _pagerank_sql(iters=5),
+    "graph_pagerank_pregel": _pagerank_sql(iters=5),
     "docs_split_assign": SQL_DOCS_SPLIT_ASSIGN,
     "docs_pii_scrub": _pii_scrub_sql(),
     "docs_stratified_sample": SQL_DOCS_STRATIFIED_SAMPLE,

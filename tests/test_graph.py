@@ -188,3 +188,29 @@ def test_pregel_transitive_drops_engine_parity(ray_session):
             ).take_all()
         }
         assert got == {2, 3, 11}, engine
+
+
+def test_pregel_pagerank_matches_dataset(ray_session):
+    from knowledge_graph_ray.functions.graph import pagerank, pagerank_pregel
+
+    rng = np.random.default_rng(1)
+    tbl = pa.table(
+        {
+            "src": pa.array(rng.integers(0, 60, 200), pa.int64()),
+            "dst": pa.array(rng.integers(60, 160, 200), pa.int64()),
+        }
+    )
+    ref = (
+        pagerank(rd.from_arrow(tbl), num_buckets=4)
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    got = (
+        pagerank_pregel(rd.from_arrow(tbl), num_buckets=4)
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    assert (ref["node"].values == got["node"].values).all()
+    assert np.allclose(ref["pr"], got["pr"], atol=2e-9)
