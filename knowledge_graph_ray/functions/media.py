@@ -357,6 +357,66 @@ def audio_features(samples: np.ndarray, sample_rate: int, dim: int = 32) -> np.n
     return f / n if n else f
 
 
+# ------------------------------------------------------------------ MP3
+
+_MP3_BITRATES_V1L3 = [  # kbps, MPEG-1 Layer III (index 1..14)
+    0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320,
+]
+_MP3_BITRATES_V2L3 = [
+    0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160,
+]
+_MP3_RATES = {3: [44100, 48000, 32000], 2: [22050, 24000, 16000],
+              0: [11025, 12000, 8000]}  # version bits → rates
+
+
+def mp3_metadata(payload: bytes) -> tuple[int, int, int]:
+    """MPEG audio frame-header walk → (sample_rate, n_samples
+    estimate, channels) WITHOUT decoding audio (no MDCT/huffman —
+    metadata extraction is the pipeline op; real decode stays behind
+    the declared stub). Skips a leading ID3v2 tag, then walks frames
+    by computed length, the way duration probes do it."""
+    pos = 0
+    if payload[:3] == b"ID3" and len(payload) > 10:
+        size = (
+            (payload[6] & 0x7F) << 21 | (payload[7] & 0x7F) << 14
+            | (payload[8] & 0x7F) << 7 | (payload[9] & 0x7F)
+        )
+        pos = 10 + size
+    frames = 0
+    rate = channels = None
+    while pos + 4 <= len(payload):
+        b0, b1, b2, b3 = payload[pos : pos + 4]
+        if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
+            pos += 1  # resync (junk between tags/frames)
+            continue
+        version = (b1 >> 3) & 3  # 3=MPEG1, 2=MPEG2, 0=MPEG2.5
+        layer = (b1 >> 1) & 3  # 1 = Layer III
+        br_idx = (b2 >> 4) & 15
+        sr_idx = (b2 >> 2) & 3
+        if version == 1 or layer != 1 or br_idx in (0, 15) or sr_idx == 3:
+            pos += 1
+            continue
+        sr = _MP3_RATES[version][sr_idx]
+        kbps = (
+            _MP3_BITRATES_V1L3 if version == 3 else _MP3_BITRATES_V2L3
+        )[br_idx]
+        pad = (b2 >> 1) & 1
+        spf = 1152 if version == 3 else 576  # samples per frame, LIII
+        flen = (spf // 8) * kbps * 1000 // sr + pad
+        if flen <= 4:
+            pos += 1
+            continue
+        if rate is None:
+            rate = sr
+            channels = 1 if ((b3 >> 6) & 3) == 3 else 2
+        frames += 1
+        pos += flen
+    if rate is None:
+        raise ValueError("no MPEG audio frames found")
+    spf = 1152 if rate >= 32000 else 576
+    return rate, frames * spf, channels
+
+
 def sniff_media(payload: bytes) -> str:
     """Byte-signature dispatch: 'bmp' / 'wav' / 'png' / 'gif' /
     'jpeg' / 'mp4' / 'unknown'."""
@@ -368,6 +428,10 @@ def sniff_media(payload: bytes) -> str:
         return "png"
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         return "gif"
+    if payload[:3] == b"ID3" or (
+        len(payload) > 1 and payload[0] == 0xFF and (payload[1] & 0xE0) == 0xE0
+    ):
+        return "mp3"
     if payload[:3] == b"\xff\xd8\xff":
         return "jpeg"
     if payload[4:8] == b"ftyp":

@@ -156,16 +156,22 @@ class ImageDecodeActor:
 
 class AudioDecodeActor:
     """Actor stage: decode RIFF/WAV PCM payloads → (sample_rate,
-    n_samples, n_channels). Non-WAV audio: strict raises, default
-    emits fake metadata (declared stub path)."""
+    n_samples, n_channels); MP3 payloads get REAL header-walk metadata
+    (rate/duration/channels without audio decode —
+    ``media.mp3_metadata``). Other audio: strict raises, default emits
+    fake metadata (declared stub path)."""
 
     def __init__(self, strict: bool = False):
         self.strict = strict
 
     def decode(self, payload: bytes) -> tuple[int, int, int]:
-        if M.sniff_media(payload) == "wav":
+        kind = M.sniff_media(payload)
+        if kind == "wav":
             rate, data = M.decode_wav(payload)
             return (rate, data.shape[0], data.shape[1])
+        if kind == "mp3":
+            rate, n, ch = M.mp3_metadata(payload)
+            return (rate, n, ch)
         if self.strict:
             raise NotImplementedError("non-WAV audio needs torchaudio/ffmpeg")
         h = stable_digest(payload)

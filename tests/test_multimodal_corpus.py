@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pytest
 
@@ -223,3 +225,35 @@ def test_png_real_world_variants_decode():
         assert img.shape[:2] == (h, w) and img.dtype == np.uint8
         fv = image_features(img)
         assert abs(float(np.linalg.norm(fv)) - 1.0) < 1e-5, (depth, ct, il)
+
+
+MP3_FIXTURE = (
+    "/usr/lib/google-cloud-sdk/platform/gsutil/gslib/tests/test_data/test.mp3"
+)
+
+
+def test_mp3_metadata_synthetic_frames():
+    # hand-built MPEG-1 Layer III headers: 44100 Hz stereo, 128 kbps
+    # → frame length 144*128000/44100 = 417 bytes, 1152 samples/frame
+    from knowledge_graph_ray.functions.media import mp3_metadata, sniff_media
+
+    frame = bytes([0xFF, 0xFB, 0x90, 0x00]) + b"\x00" * (417 - 4)
+    payload = frame * 10
+    assert sniff_media(payload) == "mp3"
+    rate, n, ch = mp3_metadata(payload)
+    assert (rate, n, ch) == (44100, 10 * 1152, 2)
+
+
+@pytest.mark.skipif(
+    not os.path.exists(MP3_FIXTURE), reason="external mp3 not on this host"
+)
+def test_mp3_metadata_real_file():
+    # real LAME-encoded file: header walk must be internally
+    # consistent (frames x frame-bytes ~ file size)
+    from knowledge_graph_ray.functions.media import mp3_metadata
+
+    with open(MP3_FIXTURE, "rb") as fh:
+        data = fh.read()
+    rate, n, ch = mp3_metadata(data)
+    assert rate in (8000, 11025, 12000, 16000, 22050, 24000, 32000, 44100, 48000)
+    assert ch in (1, 2) and 0 < n / rate < 60
