@@ -561,6 +561,13 @@ def pagerank_pregel(
         ]
     )
     n_total = sum(counts)
+    if n_total == 0:  # empty graph: empty (node, pr) result
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table({"node": pa.array([], pa.int64()),
+                      "pr": pa.array([], pa.float64())})
+        )
     ray.get([w.init_ranks.remote(n_total) for w in workers])
 
     inbox = [None] * num_buckets
@@ -665,6 +672,13 @@ def pagerank(
         .materialize()
     )
     n_nodes = nodes.count()
+    if n_nodes == 0:  # empty graph: empty (node, pr) result
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table({"node": pa.array([], pa.int64()),
+                      "pr": pa.array([], pa.float64())})
+        )
     base = (1.0 - damping) / n_nodes
 
     def init_rank(df: pd.DataFrame) -> pd.DataFrame:

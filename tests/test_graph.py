@@ -214,3 +214,23 @@ def test_pregel_pagerank_matches_dataset(ray_session):
     )
     assert (ref["node"].values == got["node"].values).all()
     assert np.allclose(ref["pr"], got["pr"], atol=2e-9)
+
+
+def test_graph_ops_handle_empty_inputs(ray_session):
+    from knowledge_graph_ray.functions.graph import (
+        connected_components_pregel,
+        pagerank,
+        pagerank_pregel,
+    )
+
+    no_pairs = rd.from_arrow(
+        pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+    )
+    assert connected_components_pregel(no_pairs, num_buckets=4).count() == 0
+    no_edges = rd.from_arrow(
+        pa.table(
+            {"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())}
+        )
+    )
+    assert pagerank(no_edges, num_buckets=4).count() == 0
+    assert pagerank_pregel(no_edges, num_buckets=4).count() == 0
