@@ -357,6 +357,169 @@ def audio_features(samples: np.ndarray, sample_rate: int, dim: int = 32) -> np.n
     return f / n if n else f
 
 
+# ----------------------------------------------------------------- TIFF
+
+_TIFF_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
+
+
+def _tiff_lzw_decode(data: bytes) -> bytes:
+    """TIFF-variant LZW: MSB-first codes, clear=256, EOI=257,
+    EarlyChange code-width bump (one code earlier than GIF)."""
+    out = bytearray()
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    width = 9
+    bitpos = 0
+    total = len(data) * 8
+    prev = b""
+    while bitpos + width <= total:
+        byte0 = bitpos >> 3
+        chunk = int.from_bytes(data[byte0 : byte0 + 4], "big")
+        shift = 32 - (bitpos & 7) - width
+        code = (chunk >> shift) & ((1 << width) - 1)
+        bitpos += width
+        if code == 256:  # clear
+            table = table[:258]
+            width = 9
+            prev = b""
+            continue
+        if code == 257:  # end of information
+            break
+        if code < len(table) and code not in (256, 257):
+            entry = table[code]
+        elif code == len(table) and prev:
+            entry = prev + prev[:1]
+        else:
+            raise ValueError("corrupt TIFF LZW stream")
+        out += entry
+        if prev:
+            table.append(prev + entry[:1])
+        # EarlyChange: bump when the NEXT code would not fit
+        if len(table) + 1 >= (1 << width) and width < 12:
+            width += 1
+        prev = entry
+    return bytes(out)
+
+
+def _tiff_packbits_decode(data: bytes, expected: int) -> bytes:
+    out = bytearray()
+    pos = 0
+    while pos < len(data) and len(out) < expected:
+        n = data[pos]
+        pos += 1
+        if n < 128:
+            out += data[pos : pos + n + 1]
+            pos += n + 1
+        elif n > 128:
+            out += bytes([data[pos]]) * (257 - n)
+            pos += 1
+        # n == 128: no-op
+    return bytes(out)
+
+
+def decode_tiff(payload: bytes) -> tuple[int, int, int, np.ndarray]:
+    """Baseline TIFF → (width, height, channels, (H, W, C) uint8).
+
+    First IFD only; 8-bit gray/RGB/RGBA samples, strip-organized,
+    compression none / PackBits / LZW (TIFF variant with EarlyChange),
+    horizontal-differencing predictor. Tiled, planar-separate and
+    16-bit variants raise into the quarantine path."""
+    if payload[:2] not in (b"II", b"MM"):
+        raise ValueError("not a TIFF payload")
+    bo = "<" if payload[:2] == b"II" else ">"
+    magic, ifd_off = struct.unpack_from(bo + "HI", payload, 2)
+    if magic != 42:
+        raise ValueError("not a TIFF payload (bad magic)")
+    (n_entries,) = struct.unpack_from(bo + "H", payload, ifd_off)
+    tags: dict[int, list[int]] = {}
+    for i in range(n_entries):
+        off = ifd_off + 2 + i * 12
+        tag, typ, cnt = struct.unpack_from(bo + "HHI", payload, off)
+        size = _TIFF_TYPE_SIZE.get(typ, 0) * cnt
+        if size == 0:
+            continue
+        vo = off + 8 if size <= 4 else struct.unpack_from(bo + "I", payload, off + 8)[0]
+        fmt = {1: "B", 2: "B", 3: "H", 4: "I"}.get(typ)
+        if fmt is None:
+            continue
+        tags[tag] = list(
+            struct.unpack_from(bo + fmt * cnt, payload, vo)
+        )
+    try:
+        w, h = tags[256][0], tags[257][0]
+        offsets, counts = tags[273], tags[279]
+    except KeyError as e:
+        raise ValueError(f"TIFF missing required tag {e}")
+    spp = tags.get(277, [1])[0]
+    bits = tags.get(258, [8])
+    comp = tags.get(259, [1])[0]
+    rows_per_strip = tags.get(278, [h])[0]
+    predictor = tags.get(317, [1])[0]
+    planar = tags.get(284, [1])[0]
+    if any(b != 8 for b in bits) or spp not in (1, 3, 4) or planar != 1:
+        raise ValueError(
+            f"unsupported TIFF variant (bits={bits}, spp={spp}, planar={planar})"
+        )
+    if 322 in tags or 323 in tags:
+        raise ValueError("tiled TIFF unsupported")
+    raw = bytearray()
+    for off, cnt in zip(offsets, counts):
+        strip = payload[off : off + cnt]
+        n_rows = min(rows_per_strip, h - len(raw) // (w * spp))
+        expected = n_rows * w * spp
+        if comp == 1:
+            raw += strip[:expected]
+        elif comp == 32773:
+            raw += _tiff_packbits_decode(strip, expected)
+        elif comp == 5:
+            raw += _tiff_lzw_decode(strip)[:expected]
+        else:
+            raise ValueError(f"unsupported TIFF compression {comp}")
+    if len(raw) < h * w * spp:
+        raise ValueError("TIFF strip data truncated")
+    img = np.frombuffer(bytes(raw), np.uint8, h * w * spp).reshape(h, w, spp)
+    if predictor == 2:  # horizontal differencing
+        img = np.cumsum(img.astype(np.int64), axis=1).astype(np.uint8)
+    # photometric 0 = white-is-zero grayscale
+    if tags.get(262, [1])[0] == 0 and spp == 1:
+        img = 255 - img
+    return w, h, spp, np.ascontiguousarray(img)
+
+
+def encode_tiff(img: np.ndarray) -> bytes:
+    """(H, W) or (H, W, {1,3,4}) uint8 → uncompressed little-endian
+    baseline TIFF (one strip)."""
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, ch = img.shape
+    data = img.tobytes()
+    entries = [
+        (256, 3, 1, w), (257, 3, 1, h), (259, 3, 1, 1),
+        (262, 3, 1, 2 if ch >= 3 else 1), (277, 3, 1, ch),
+        (278, 3, 1, h), (279, 4, 1, len(data)),
+    ]
+    n = len(entries) + 2  # + BitsPerSample + StripOffsets
+    ifd_off = 8
+    bits_off = ifd_off + 2 + n * 12 + 4
+    data_off = bits_off + 2 * ch
+    out = bytearray(struct.pack("<2sHI", b"II", 42, ifd_off))
+    all_entries = entries + [(258, 3, ch, 8), (273, 4, 1, data_off)]
+    all_entries.sort()
+    out += struct.pack("<H", n)
+    for tag, typ, cnt, val in all_entries:
+        if tag == 258 and ch > 2:
+            out += struct.pack("<HHII", tag, typ, cnt, bits_off)
+        elif tag == 258:
+            out += struct.pack("<HHIHH", tag, typ, cnt, 8, 0)
+        else:
+            out += struct.pack("<HHII", tag, typ, cnt, val)
+    out += struct.pack("<I", 0)  # next IFD
+    out += struct.pack("<" + "H" * ch, *([8] * ch))
+    if len(out) < data_off:
+        out += b"\x00" * (data_off - len(out))
+    out += data
+    return bytes(out)
+
+
 # ------------------------------------------------------------------ MP3
 
 _MP3_BITRATES_V1L3 = [  # kbps, MPEG-1 Layer III (index 1..14)
@@ -419,7 +582,7 @@ def mp3_metadata(payload: bytes) -> tuple[int, int, int]:
 
 def sniff_media(payload: bytes) -> str:
     """Byte-signature dispatch: 'bmp' / 'wav' / 'png' / 'gif' /
-    'jpeg' / 'mp4' / 'unknown'."""
+    'tiff' / 'jpeg' / 'mp3' / 'mp4' / 'unknown'."""
     if payload[:2] == b"BM":
         return "bmp"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
@@ -428,6 +591,8 @@ def sniff_media(payload: bytes) -> str:
         return "png"
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         return "gif"
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        return "tiff"
     if payload[:3] == b"ID3" or (
         len(payload) > 1 and payload[0] == 0xFF and (payload[1] & 0xE0) == 0xE0
     ):

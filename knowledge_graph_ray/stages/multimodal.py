@@ -140,6 +140,9 @@ class ImageDecodeActor:
         if kind == "gif":
             w, h, _ = M.decode_gif(payload)
             return (w, h, 3)
+        if kind == "tiff":
+            w, h, c, _ = M.decode_tiff(payload)
+            return (w, h, c)
         if self.strict:
             return self._decode_image_real(payload)
         return _fake_image_meta(payload)
@@ -219,6 +222,9 @@ class MediaFeatureActor:
             _, _, frames = M.decode_gif(payload)
             if frames:
                 return M.image_features(frames[0], self.dim)
+        if kind == "tiff":
+            _, _, _, img = M.decode_tiff(payload)
+            return M.image_features(img, self.dim)
         if kind == "wav":
             rate, data = M.decode_wav(payload)
             return M.audio_features(data, rate, self.dim)

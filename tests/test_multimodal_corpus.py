@@ -257,3 +257,42 @@ def test_mp3_metadata_real_file():
     rate, n, ch = mp3_metadata(data)
     assert rate in (8000, 11025, 12000, 16000, 22050, 24000, 32000, 44100, 48000)
     assert ch in (1, 2) and 0 < n / rate < 60
+
+
+TIFF_FIXTURE = (
+    "/root/.pyenv/versions/3.13.0/lib/python3.13/test/test_email/data/python.tiff"
+)
+LOGO_PNG = (
+    "/root/.pyenv/versions/3.7.16/lib/python3.7/test/imghdrdata/python.png"
+)
+
+
+def test_tiff_roundtrip_exact():
+    from knowledge_graph_ray.functions.media import decode_tiff, encode_tiff
+
+    rng = np.random.default_rng(13)
+    for shape in [(7, 9), (11, 5, 3), (6, 8, 4)]:
+        img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        w, h, c, back = decode_tiff(encode_tiff(img))
+        want = img if img.ndim == 3 else img[:, :, None]
+        assert (back == want).all(), shape
+
+
+@pytest.mark.skipif(
+    not (os.path.exists(TIFF_FIXTURE) and os.path.exists(LOGO_PNG)),
+    reason="external fixtures not on this host",
+)
+def test_tiff_and_png_decoders_agree_on_same_source_image():
+    # the Python logo shipped as both TIFF (raw strips) and PNG
+    # (zlib + filters): two independent decode paths must produce
+    # byte-identical RGB on every opaque pixel
+    from knowledge_graph_ray.functions.media import decode_png, decode_tiff
+
+    with open(TIFF_FIXTURE, "rb") as fh:
+        _, _, c, tif = decode_tiff(fh.read())
+    assert c == 4
+    with open(LOGO_PNG, "rb") as fh:
+        _, _, _, png = decode_png(fh.read())
+    mask = tif[:, :, 3] > 128
+    assert mask.sum() > 100
+    assert (png[:, :, :3][mask] == tif[:, :, :3][mask]).all()
