@@ -19,6 +19,15 @@ formats a stdlib+numpy sandbox CAN genuinely decode:
   validated against real libjpeg-produced files of both kinds.
   Lossless / arithmetic variants raise into the quarantine path.
 
+- Baseline TIFF: IFD walk (both byte orders), strips with none/
+  PackBits/TIFF-LZW compression + horizontal predictor; decode
+  cross-validated byte-identical with the PNG decoder on a shared
+  externally-produced source image.
+- netpbm (PBM/PGM/PPM, binary + ASCII): full tiny-spec decode; the
+  external PPM logo decodes byte-identical to its PNG sibling.
+- MP3: real frame-header metadata walk (rate/duration/channels, no
+  audio decode), validated against a real LAME file.
+
 MP4 needs an H.264 codec that is NOT in this container — video
 payloads keep the declared stub path in stages/multimodal.
 
@@ -357,6 +366,78 @@ def audio_features(samples: np.ndarray, sample_rate: int, dim: int = 32) -> np.n
     return f / n if n else f
 
 
+# --------------------------------------------------------------- netpbm
+
+
+def decode_netpbm(payload: bytes) -> tuple[int, int, int, np.ndarray]:
+    """PBM/PGM/PPM (binary P4/P5/P6 and ASCII P1/P2/P3) →
+    (width, height, channels, (H, W, C) uint8). Tiny spec, fully
+    implemented; maxval ≤ 255 only (16-bit raises)."""
+    if len(payload) < 2 or payload[0:1] != b"P" or payload[1] not in b"123456":
+        raise ValueError("not a netpbm payload")
+    kind = payload[1] - ord("0")
+    bitmap = kind in (1, 4)
+
+    # header tokens with '#' comments, then raster
+    pos = 2
+    tokens: list[int] = []
+    need = 2 if bitmap else 3
+    while len(tokens) < need and pos < len(payload):
+        c = payload[pos]
+        if c == ord("#"):
+            while pos < len(payload) and payload[pos] != ord("\n"):
+                pos += 1
+        elif c in b" \t\r\n":
+            pos += 1
+        else:
+            start = pos
+            while pos < len(payload) and payload[pos] not in b" \t\r\n#":
+                pos += 1
+            tokens.append(int(payload[start:pos]))
+    if len(tokens) < need:
+        raise ValueError("netpbm header truncated")
+    w, h = tokens[0], tokens[1]
+    maxval = 1 if bitmap else tokens[2]
+    if maxval > 255:
+        raise ValueError("16-bit netpbm unsupported")
+    ch = 3 if kind in (3, 6) else 1
+    if kind in (1, 2, 3):  # ASCII raster
+        vals = np.array(
+            payload[pos:].split(), dtype=np.int64
+        )[: w * h * ch]
+        img = vals.reshape(h, w, ch)
+    else:
+        pos += 1  # single whitespace after header
+        if kind == 4:  # packed bits, rows padded to byte
+            row_bytes = (w + 7) // 8
+            rows = np.frombuffer(payload, np.uint8, row_bytes * h, pos).reshape(
+                h, row_bytes
+            )
+            img = np.unpackbits(rows, axis=1)[:, :w].astype(np.int64)[:, :, None]
+        else:
+            img = (
+                np.frombuffer(payload, np.uint8, w * h * ch, pos)
+                .reshape(h, w, ch)
+                .astype(np.int64)
+            )
+    if bitmap:  # PBM: 1 = black per spec
+        img = (1 - img) * 255
+    elif maxval != 255:
+        img = img * 255 // maxval
+    return w, h, ch, img.astype(np.uint8)
+
+
+def encode_netpbm(img: np.ndarray) -> bytes:
+    """(H, W) or (H, W, {1,3}) uint8 → binary PGM (P5) / PPM (P6)."""
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, ch = img.shape
+    if ch not in (1, 3):
+        raise ValueError("netpbm encoder takes 1 or 3 channels")
+    magic = b"P5" if ch == 1 else b"P6"
+    return magic + f"\n{w} {h}\n255\n".encode() + img.tobytes()
+
+
 # ----------------------------------------------------------------- TIFF
 
 _TIFF_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
@@ -582,7 +663,7 @@ def mp3_metadata(payload: bytes) -> tuple[int, int, int]:
 
 def sniff_media(payload: bytes) -> str:
     """Byte-signature dispatch: 'bmp' / 'wav' / 'png' / 'gif' /
-    'tiff' / 'jpeg' / 'mp3' / 'mp4' / 'unknown'."""
+    'tiff' / 'netpbm' / 'jpeg' / 'mp3' / 'mp4' / 'unknown'."""
     if payload[:2] == b"BM":
         return "bmp"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
@@ -593,6 +674,8 @@ def sniff_media(payload: bytes) -> str:
         return "gif"
     if payload[:4] in (b"II*\x00", b"MM\x00*"):
         return "tiff"
+    if len(payload) >= 2 and payload[0:1] == b"P" and payload[1] in b"123456":
+        return "netpbm"
     if payload[:3] == b"ID3" or (
         len(payload) > 1 and payload[0] == 0xFF and (payload[1] & 0xE0) == 0xE0
     ):

@@ -143,6 +143,9 @@ class ImageDecodeActor:
         if kind == "tiff":
             w, h, c, _ = M.decode_tiff(payload)
             return (w, h, c)
+        if kind == "netpbm":
+            w, h, c, _ = M.decode_netpbm(payload)
+            return (w, h, c)
         if self.strict:
             return self._decode_image_real(payload)
         return _fake_image_meta(payload)
@@ -224,6 +227,9 @@ class MediaFeatureActor:
                 return M.image_features(frames[0], self.dim)
         if kind == "tiff":
             _, _, _, img = M.decode_tiff(payload)
+            return M.image_features(img, self.dim)
+        if kind == "netpbm":
+            _, _, _, img = M.decode_netpbm(payload)
             return M.image_features(img, self.dim)
         if kind == "wav":
             rate, data = M.decode_wav(payload)

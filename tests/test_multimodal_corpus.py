@@ -296,3 +296,34 @@ def test_tiff_and_png_decoders_agree_on_same_source_image():
     mask = tif[:, :, 3] > 128
     assert mask.sum() > 100
     assert (png[:, :, :3][mask] == tif[:, :, :3][mask]).all()
+
+
+NETPBM_DIR = "/root/.pyenv/versions/3.7.16/lib/python3.7/test/imghdrdata"
+
+
+def test_netpbm_roundtrip_and_ascii():
+    from knowledge_graph_ray.functions.media import decode_netpbm, encode_netpbm
+
+    rng = np.random.default_rng(14)
+    for shape in [(5, 7), (9, 4, 3)]:
+        img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        _, _, _, back = decode_netpbm(encode_netpbm(img))
+        want = img if img.ndim == 3 else img[:, :, None]
+        assert (back == want).all()
+    _, _, _, a = decode_netpbm(b"P2\n# c\n3 2\n255\n0 128 255\n10 20 30\n")
+    assert a.ravel().tolist() == [0, 128, 255, 10, 20, 30]
+
+
+@pytest.mark.skipif(
+    not os.path.exists(NETPBM_DIR), reason="imghdrdata not on this host"
+)
+def test_ppm_decodes_byte_identical_to_png():
+    # the same logo shipped as PPM (raw bytes) and PNG (zlib+filters):
+    # independent decoders must agree EXACTLY on every pixel
+    from knowledge_graph_ray.functions.media import decode_netpbm, decode_png
+
+    with open(os.path.join(NETPBM_DIR, "python.ppm"), "rb") as fh:
+        _, _, _, ppm = decode_netpbm(fh.read())
+    with open(os.path.join(NETPBM_DIR, "python.png"), "rb") as fh:
+        _, _, _, png = decode_png(fh.read())
+    assert (ppm == png).all()
