@@ -154,12 +154,25 @@ class ImageDecodeActor:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch.column("payload").to_pylist()
-        meta = [self.decode(p) for p in payloads]
+        meta, errs = [], []
+        for p in payloads:
+            # per-row quarantine: a corrupt/truncated payload must not
+            # fail the batch (reference discipline: error column, row
+            # survives — get_files.py-style)
+            try:
+                meta.append(self.decode(p))
+                errs.append(None)
+            except Exception as e:  # noqa: BLE001 — untrusted bytes:
+                # any decoder exception (ValueError, zlib/struct errors,
+                # NotImplementedError) means quarantine, never job death
+                meta.append((0, 0, 0))
+                errs.append(f"{type(e).__name__}: {e}")
         out = batch.append_column("width", pa.array([m[0] for m in meta], pa.int32()))
         out = out.append_column("height", pa.array([m[1] for m in meta], pa.int32()))
-        return out.append_column(
+        out = out.append_column(
             "n_channels", pa.array([m[2] for m in meta], pa.int32())
         )
+        return out.append_column("decode_error", pa.array(errs, pa.string()))
 
 
 class AudioDecodeActor:
@@ -187,16 +200,24 @@ class AudioDecodeActor:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch.column("payload").to_pylist()
-        meta = [self.decode(p) for p in payloads]
+        meta, errs = [], []
+        for p in payloads:
+            try:
+                meta.append(self.decode(p))
+                errs.append(None)
+            except Exception as e:  # noqa: BLE001 — untrusted bytes
+                meta.append((0, 0, 0))
+                errs.append(f"{type(e).__name__}: {e}")
         out = batch.append_column(
             "sample_rate", pa.array([m[0] for m in meta], pa.int32())
         )
         out = out.append_column(
             "n_samples", pa.array([m[1] for m in meta], pa.int64())
         )
-        return out.append_column(
+        out = out.append_column(
             "n_channels", pa.array([m[2] for m in meta], pa.int32())
         )
+        return out.append_column("decode_error", pa.array(errs, pa.string()))
 
 
 class MediaFeatureActor:
@@ -244,13 +265,23 @@ class MediaFeatureActor:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch.column("payload").to_pylist()
-        vecs = np.stack([self.embed(p) for p in payloads]) if payloads else np.zeros(
-            (0, self.dim), dtype=np.float32
+        vecs, errs = [], []
+        for p in payloads:
+            try:
+                vecs.append(self.embed(p))
+                errs.append(None)
+            except Exception as e:  # noqa: BLE001 — untrusted bytes
+                # corrupt payload: zero vector + error, never a fake
+                vecs.append(np.zeros(self.dim, dtype=np.float32))
+                errs.append(f"{type(e).__name__}: {e}")
+        stacked = (
+            np.stack(vecs) if vecs else np.zeros((0, self.dim), dtype=np.float32)
         )
         col = pa.FixedSizeListArray.from_arrays(
-            pa.array(vecs.ravel(), pa.float32()), self.dim
+            pa.array(stacked.ravel(), pa.float32()), self.dim
         )
-        return batch.append_column("embedding", col)
+        out = batch.append_column("embedding", col)
+        return out.append_column("feature_error", pa.array(errs, pa.string()))
 
 
 class FrameSampleActor:

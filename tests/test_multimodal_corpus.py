@@ -327,3 +327,27 @@ def test_ppm_decodes_byte_identical_to_png():
     with open(os.path.join(NETPBM_DIR, "python.png"), "rb") as fh:
         _, _, _, png = decode_png(fh.read())
     assert (ppm == png).all()
+
+
+def test_corrupt_payload_quarantines_not_raises(ray_session):
+    import pyarrow as pa
+
+    from knowledge_graph_ray.functions.media import encode_png
+
+    good = encode_png(np.full((4, 4, 3), 7, np.uint8))
+    corrupt = good[:40]  # truncated PNG: valid signature, broken body
+    batch = pa.table(
+        {
+            "media_id": pa.array([1, 2], pa.int64()),
+            "payload": pa.array([good, corrupt], pa.binary()),
+        }
+    )
+    out = mm.ImageDecodeActor(strict=True)(batch)
+    assert out.column("decode_error")[0].as_py() is None
+    assert out.column("width")[0].as_py() == 4
+    assert out.column("decode_error")[1].as_py() is not None
+    assert out.column("width")[1].as_py() == 0  # quarantined, batch survived
+    fo = mm.MediaFeatureActor(strict=True)(batch)
+    assert fo.column("feature_error")[0].as_py() is None
+    assert fo.column("feature_error")[1].as_py() is not None
+    assert all(v == 0.0 for v in fo.column("embedding")[1].as_py())
