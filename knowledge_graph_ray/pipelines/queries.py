@@ -1877,6 +1877,57 @@ FROM events
 """
 
 
+def q_events_rolling_sum(sf_dir: str, window: int = 3) -> Dataset:
+    """Rolling window aggregate: per event, the sum of the last
+    ``window`` event values (ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    within the same user, ordered by (ts, id). Same bucketed execution
+    as ``lag_deltas``: ONE hash shuffle on user, vectorized pandas
+    rolling per bucket. Values integerized to milli-units so the twin
+    compares exact ints (the money-aggregate rendering rule)."""
+    ev = _read(sf_dir, "events").select_columns(
+        ["event_id", "user_id", "ts", "value"]
+    )
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {
+                    "event_id": pd.Series([], dtype="int64"),
+                    "user_id": pd.Series([], dtype="int64"),
+                    "roll_sum_milli": pd.Series([], dtype="int64"),
+                    "n_window": pd.Series([], dtype="int64"),
+                }
+            )
+        df = df.sort_values(
+            ["user_id", "ts", "event_id"], kind="mergesort"
+        ).reset_index(drop=True)
+        milli = (df["value"] * 1000).round(0).astype("int64")
+        g = milli.groupby(df["user_id"])
+        rs = g.rolling(window, min_periods=1).sum().reset_index(drop=True)
+        rc = g.rolling(window, min_periods=1).count().reset_index(drop=True)
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"].astype("int64"),
+                "user_id": df["user_id"].astype("int64"),
+                "roll_sum_milli": rs.astype("int64"),
+                "n_window": rc.astype("int64"),
+            }
+        )
+
+    return R.hash_bucket_agg(ev, ["user_id"], per_bucket, num_buckets=32)
+
+
+SQL_EVENTS_ROLLING_SUM = """
+SELECT event_id, user_id,
+       CAST(SUM(CAST(ROUND(value * 1000, 0) AS BIGINT)) OVER w
+            AS BIGINT) AS roll_sum_milli,
+       CAST(COUNT(*) OVER w AS BIGINT) AS n_window
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+"""
+
+
 def q_docs_lang_length_quantiles(sf_dir: str) -> Dataset:
     """Grouped exact quantiles: per-language p50/p90 of the whitespace
     token count, via the same distributed (lang, length)-histogram →
@@ -1959,6 +2010,7 @@ QUERIES = {
     "shipping_priority": q_shipping_priority,
     "events_type_pivot": q_events_type_pivot,
     "events_lag_deltas": q_events_lag_deltas,
+    "events_rolling_sum": q_events_rolling_sum,
     "docs_lang_length_quantiles": q_docs_lang_length_quantiles,
     "docs_dup_components": q_docs_dup_components,
     "docs_dup_components_pregel": q_docs_dup_components_pregel,
@@ -2020,6 +2072,7 @@ ORACLE_SQL = {
     "shipping_priority": SQL_SHIPPING_PRIORITY,
     "events_type_pivot": SQL_EVENTS_TYPE_PIVOT,
     "events_lag_deltas": SQL_EVENTS_LAG_DELTAS,
+    "events_rolling_sum": SQL_EVENTS_ROLLING_SUM,
     "docs_lang_length_quantiles": SQL_DOCS_LANG_LENGTH_QUANTILES,
     "docs_sample_md5": SQL_DOCS_SAMPLE_MD5,
     "events_value_stats": SQL_EVENTS_VALUE_STATS,
