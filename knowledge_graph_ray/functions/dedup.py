@@ -362,16 +362,36 @@ def minhash_lsh_pairs(
 
 # -------------------------------------------------------------- simhash
 
+def simhash64_batch(texts: list[str]) -> np.ndarray:
+    """(n,) texts → (n,) uint64 simhashes in ONE numpy pass: md5-hash
+    every token of the batch once, unpack bit columns via the byte
+    view (little-endian: bit j == (h >> j) & 1), segment-sum per doc
+    with ``np.add.reduceat`` (the ``MinHasher.signatures`` pattern —
+    the old per-row ``simhash64`` re-entered numpy once per document).
+    Empty docs hash to 0 (unchanged semantics)."""
+    tok_lists = [_tokens(t) for t in texts]
+    lens = np.fromiter((len(t) for t in tok_lists), dtype=np.int64, count=len(texts))
+    out = np.zeros(len(texts), dtype=np.uint64)
+    total = int(lens.sum())
+    if total == 0:
+        return out
+    all_toks = [t for toks in tok_lists for t in toks]
+    h = md5_hash64_array(all_toks)
+    bits = np.unpackbits(
+        h.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+    ).astype(np.int32)
+    signed = 2 * bits - 1  # (S, 64)
+    offsets = np.zeros(len(texts), dtype=np.int64)
+    np.cumsum(lens[:-1], out=offsets[1:])
+    nonempty = lens > 0  # reduceat needs strictly increasing offsets
+    acc = np.add.reduceat(signed, offsets[nonempty], axis=0)  # (m, 64)
+    packed = np.packbits(acc > 0, axis=1, bitorder="little")
+    out[nonempty] = packed.view(np.uint64).ravel()
+    return out
+
+
 def simhash64(text: str) -> int:
-    toks = _tokens(text)
-    if not toks:
-        return 0
-    h = md5_hash64_array(toks)
-    bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(
-        np.int32
-    )
-    acc = (2 * bits - 1).sum(axis=0)
-    return int(((acc > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
+    return int(simhash64_batch([text])[0])
 
 
 def simhash_rows(
@@ -386,26 +406,24 @@ def simhash_rows(
     "bidx:slice" string; string keys put the whole banded table on
     Ray's slow string-sort path). Two docs within Hamming distance
     (bands-1) share at least one band key (pigeonhole)."""
-    ids = batch.column(id_col).to_pylist()
+    ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
     texts = batch.column(text_col).to_pylist()
+    n = len(texts)
+    sh = simhash64_batch(texts)  # (n,) uint64, one numpy pass
     width = 64 // bands
-    mask = (1 << width) - 1
-    o_key, o_id, o_sim = [], [], []
-    for rid, text in zip(ids, texts):
-        sh = simhash64(text)
-        for bidx in range(bands):
-            slice_ = (sh >> (bidx * width)) & mask
-            key = slice_ if bands == 1 else bidx * (mask + 1) + slice_
-            o_key.append(key)
-            o_id.append(rid)
-            o_sim.append(sh)
+    rep_sh = np.repeat(sh, bands)
+    bidx = np.tile(np.arange(bands, dtype=np.uint64), n)
+    if bands == 1:
+        keys = rep_sh
+    else:
+        mask = np.uint64((1 << width) - 1)
+        slice_ = (rep_sh >> (bidx * np.uint64(width))) & mask
+        keys = bidx * np.uint64(1 << width) + slice_
     return pa.table(
         {
-            "band_key": pa.array(
-                np.array(o_key, dtype=np.uint64).view(np.int64)
-            ),
-            "id": pa.array(o_id, pa.int64()),
-            "simhash": pa.array(np.array(o_sim, dtype=np.uint64).view(np.int64)),
+            "band_key": pa.array(keys.view(np.int64)),
+            "id": pa.array(np.repeat(ids, bands), pa.int64()),
+            "simhash": pa.array(rep_sh.view(np.int64)),
         }
     )
 

@@ -49,12 +49,21 @@ def dedup_paragraphs_exact(paras: Dataset) -> Dataset:
     return hash_bucket_agg(paras, ["text"], first_per_text, num_buckets=64)
 
 
-def remove_near_dup_paragraphs(paras: Dataset, *, threshold: float = 0.85) -> Dataset:
+def remove_near_dup_paragraphs(
+    paras: Dataset, *, threshold: float = 0.85, survivors: str = "distributed"
+) -> Dataset:
     """D2: drop near-duplicate paragraphs (boilerplate headers/footers;
     reference threshold semantics remove_duplicate_paragraphs.py:
     104-132 — cosine 0.98 over embeddings ≈ high Jaccard over text).
-    Pair generation is the banded MinHash shuffle; the drop set (pairs
-    only) is small and broadcast."""
+    Pair generation is the banded MinHash shuffle.
+
+    Survivor selection is DISTRIBUTED by default: dup pairs are
+    corpus-proportional on web data, so the drop set stays a Dataset
+    (transitive closure via partition-pinned Pregel, keep min id per
+    component) and is applied with a size-guarded anti semi-join —
+    nothing pair-table-sized ever crosses the driver.
+    ``survivors='driver'`` keeps the small-input shortcut (per-pair
+    union-find collected driver-side, components semantics)."""
     # materialize: ``keyed`` is consumed twice (pair generation and the
     # final filter) — pinning it stops the extract/segment upstream
     # from re-executing for the second consumer
@@ -62,8 +71,15 @@ def remove_near_dup_paragraphs(paras: Dataset, *, threshold: float = 0.85) -> Da
     pairs = dedup.minhash_lsh_pairs(
         keyed, text_col="text", id_col="para_key", threshold=threshold
     )
-    drops = dedup.drops_from_pairs(pairs)
-    return dedup.filter_dropped(keyed, drops, id_col="para_key")
+    if survivors == "driver":
+        drops = dedup.drops_from_pairs(pairs, strategy="components")
+        return dedup.filter_dropped(keyed, drops, id_col="para_key")
+    if survivors != "distributed":
+        raise ValueError(f"unknown survivors mode: {survivors!r}")
+    from knowledge_graph_ray.pipelines.relational import semi_join
+
+    drops_ds = dedup.transitive_drops(pairs, num_buckets=16)
+    return semi_join(keyed, drops_ds, on="para_key", right_on="node", anti=True)
 
 
 def normalize_doc_lengths(

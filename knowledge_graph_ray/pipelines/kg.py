@@ -159,9 +159,9 @@ def dedup_triples(linked: Dataset) -> Dataset:
     agg = hash_bucket_agg(partial, ["subj", "pred", "obj"], merge, num_buckets=64)
 
     def finalize(batch: pa.Table) -> pa.Table:
-        objs = batch.column("obj").to_pylist()
-        lit = [not (o.startswith("entity:") or o.startswith("surface:")) for o in objs]
-        return batch.append_column("obj_is_literal", pa.array(lit, pa.bool_()))
+        obj = batch.column("obj")
+        is_id = pc.or_(pc.starts_with(obj, "entity:"), pc.starts_with(obj, "surface:"))
+        return batch.append_column("obj_is_literal", pc.invert(is_id))
 
     return agg.map_batches(finalize, batch_format="pyarrow")
 
@@ -266,21 +266,21 @@ def canonicalize_nil_surfaces(triples: Dataset, threshold: int = 85) -> Dataset:
     ref = ray.put(cmap)
 
     def remap(batch: pa.Table) -> pa.Table:
+        # vectorized rewrite: pandas .map over the broadcast dict on the
+        # surface: tail only (no per-row Python closure on the triple table)
         m = ray.get(ref)
-
-        def fix(v: str) -> str:
-            if v.startswith("surface:"):
-                return "surface:" + m.get(v[8:], v[8:])
-            return v
-
         cols = {}
         for name in batch.column_names:
+            col = batch.column(name)
             if name in ("subj", "obj"):
-                cols[name] = pa.array(
-                    [fix(v) for v in batch.column(name).to_pylist()], pa.string()
-                )
+                s = col.to_pandas().astype("object")
+                is_surf = s.str.startswith("surface:")
+                if bool(is_surf.any()):
+                    tails = s[is_surf].str[8:]
+                    s.loc[is_surf] = "surface:" + tails.map(m).fillna(tails)
+                cols[name] = pa.array(s, pa.string())
             else:
-                cols[name] = batch.column(name)
+                cols[name] = col
         return pa.table(cols)
 
     remapped = triples.map_batches(remap, batch_format="pyarrow")

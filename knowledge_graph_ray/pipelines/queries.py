@@ -394,16 +394,15 @@ def q_graph_2hop(sf_dir: str) -> Dataset:
         return pa.table({"order_uri": batch.column("obj")})
 
     slim = hits.map_batches(rename, batch_format="pyarrow", batch_size=None)
-    # tree distinct (order URIs are unique per edge here, but keep the
-    # operator shape honest)
-    out = slim.map_batches(
+    # distinct via hash-bucket shuffle: order URIs are corpus-
+    # proportional, so a tree funnel ending in one block would be a
+    # scale escape — per-block combiner, then per-bucket dedup
+    combined = slim.map_batches(
         lambda df: df.drop_duplicates(), batch_format="pandas", batch_size=None
     )
-    for pnum in (4, 1):
-        out = out.repartition(pnum).map_batches(
-            lambda df: df.drop_duplicates(), batch_format="pandas", batch_size=None
-        )
-    return out
+    return R.hash_bucket_agg(
+        combined, ["order_uri"], lambda df: df.drop_duplicates(), num_buckets=16
+    )
 
 
 SQL_GRAPH_2HOP = """

@@ -25,6 +25,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 from ray.data import Dataset
@@ -92,6 +93,33 @@ def knn_topk(
     )
 
 
+def _hash_sample_vecs(
+    ds: Dataset, *, vec_col: str, id_col: str, n: int
+) -> np.ndarray:
+    """Seed-free uniform sample of ``n`` vectors: order rows by a
+    stable 64-bit hash of their id (pseudo-random, re-shard-stable)
+    and keep the bottom ``n``. Scale shape: each batch keeps at most
+    ``n`` rows (the corpus never leaves the workers), the global
+    sort+limit runs over the already-shrunk table, and only ``n``
+    vectors reach the driver."""
+    from knowledge_graph_ray.functions.hashing import hash64_array
+
+    def bottom(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        h = hash64_array(ids.astype(str))
+        keep = np.sort(np.argsort(h)[:n])
+        return pa.table(
+            {
+                "_h": pa.array(h[keep].view(np.int64)),
+                vec_col: pc.take(batch.column(vec_col), pa.array(keep)),
+            }
+        )
+
+    shrunk = ds.map_batches(bottom, batch_format="pyarrow")
+    rows = shrunk.sort("_h").limit(n).take_all()
+    return np.asarray([r[vec_col] for r in rows], dtype=np.float64)
+
+
 class IvfIndex:
     """Deterministic IVF (FAISS IndexIVFFlat analog,
     create_faiss_index.py:43-49): k-means centroids trained with fixed
@@ -146,12 +174,13 @@ def knn_ivf(
     exclude_self: bool = True,
 ) -> Dataset:
     """IVF-pruned cosine top-k (approximate): centroids are trained on
-    a bounded sample (one driver-side pass over ``limit(train_sample)``
-    — the index is derived state, broadcast once); each corpus batch
-    scores only rows whose assigned list is probed by some query."""
-    sample = np.asarray(
-        [r[vec_col] for r in ds.limit(train_sample).take_all()], dtype=np.float64
-    )
+    a bounded UNBIASED sample — hash-ordered over row ids (stable
+    under sorted/clustered/partitioned input, unlike ``limit(n)``
+    which sees only the first blocks), shrunk per batch before one
+    tiny sort-limit; the index is derived state, broadcast once. Each
+    corpus batch scores only rows whose assigned list is probed by
+    some query."""
+    sample = _hash_sample_vecs(ds, vec_col=vec_col, id_col=id_col, n=train_sample)
     index = IvfIndex(sample, nlist=nlist, seed=seed)
     q_unit = _unit_rows(query_vecs)
     probed = index.probe_lists(q_unit, nprobe)

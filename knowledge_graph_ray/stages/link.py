@@ -100,39 +100,55 @@ class EntityLinker:
 
     # ---------------------------------------------------------- core
     def resolve(self, surface: str) -> str:
-        hit = self._cache.get(surface)
-        if hit is not None:
-            return hit
-        norm = normalize_surface(surface)
-        eid = self.exact.get(norm)
-        if eid is not None:
-            out = f"entity:{eid}"
-        elif self.matrix is not None and len(self.entity_ids):
-            vec = self.embedder.encode([norm])[0]
+        return self.resolve_many([surface])[0]
+
+    def resolve_many(self, surfaces: list[str]) -> list[str]:
+        """Batch resolution: dedupe the batch's unresolved surfaces and
+        score ALL ANN misses against the entity matrix in ONE matmul
+        (gemm) instead of one gemv per surface — the flagship's actor
+        stage is dominated by this path, and web corpora repeat
+        surfaces heavily so the dedupe alone removes most work."""
+        pending_surf: list[str] = []
+        pending_norm: list[str] = []
+        for s in surfaces:
+            if s in self._cache:
+                continue
+            norm = normalize_surface(s)
+            eid = self.exact.get(norm)
+            if eid is not None:
+                self._cache[s] = f"entity:{eid}"
+            elif self.matrix is not None and len(self.entity_ids):
+                pending_surf.append(s)
+                pending_norm.append(norm)
+                self._cache[s] = ""  # placeholder: dedupes repeats within batch
+            else:
+                self._cache[s] = self._nil(norm)
+        if pending_surf:
+            vecs = self.embedder.encode(pending_norm)  # (m, dim), one pass
             if self.index is not None:
-                cand = self.index.candidates(vec)
-                if cand:
-                    scores = self.matrix[cand] @ vec
-                    best = int(np.argmax(scores))
-                    out = (
-                        f"entity:{self.entity_ids[cand[best]]}"
-                        if scores[best] >= self.threshold
+                for s, norm, vec in zip(pending_surf, pending_norm, vecs):
+                    cand = self.index.candidates(vec)
+                    if cand:
+                        scores = self.matrix[cand] @ vec
+                        best = int(np.argmax(scores))
+                        self._cache[s] = (
+                            f"entity:{self.entity_ids[cand[best]]}"
+                            if scores[best] >= self.threshold
+                            else self._nil(norm)
+                        )
+                    else:
+                        self._cache[s] = self._nil(norm)
+            else:
+                scores = vecs @ self.matrix.T  # (m, n_entities): ONE matmul
+                best = np.argmax(scores, axis=1)
+                best_scores = scores[np.arange(len(best)), best]
+                for s, norm, b, sc in zip(pending_surf, pending_norm, best, best_scores):
+                    self._cache[s] = (
+                        f"entity:{self.entity_ids[int(b)]}"
+                        if sc >= self.threshold
                         else self._nil(norm)
                     )
-                else:
-                    out = self._nil(norm)
-            else:
-                scores = self.matrix @ vec
-                best = int(np.argmax(scores))
-                out = (
-                    f"entity:{self.entity_ids[best]}"
-                    if scores[best] >= self.threshold
-                    else self._nil(norm)
-                )
-        else:
-            out = self._nil(norm)
-        self._cache[surface] = out
-        return out
+        return [self._cache[s] for s in surfaces]
 
     def _nil(self, norm: str) -> str:
         return "surface:" + self.canonical_map.get(norm, norm)
@@ -147,15 +163,12 @@ class EntityLinker:
         subs = batch.column("subj_surface").to_pylist()
         objs = batch.column("obj_surface").to_pylist()
         kinds = batch.column("obj_kind").to_pylist()
-        subj = [self.resolve(s) for s in subs]
-        obj, literal = [], []
-        for o, k in zip(objs, kinds):
-            if k == "ent":
-                obj.append(self.resolve(o))
-                literal.append(False)
-            else:
-                obj.append(o)
-                literal.append(True)
+        ent_objs = [o for o, k in zip(objs, kinds) if k == "ent"]
+        resolved = self.resolve_many(subs + ent_objs)  # one batched pass
+        subj = resolved[: len(subs)]
+        it = iter(resolved[len(subs) :])
+        obj = [next(it) if k == "ent" else o for o, k in zip(objs, kinds)]
+        literal = [k != "ent" for k in kinds]
         return pa.table(
             {
                 "doc_id": batch.column("doc_id"),
@@ -168,7 +181,7 @@ class EntityLinker:
 
     def _link_mentions(self, batch: pa.Table) -> pa.Table:
         surfaces = batch.column("surface").to_pylist()
-        resolved = [self.resolve(s) for s in surfaces]
+        resolved = self.resolve_many(surfaces)
         return batch.append_column("entity", pa.array(resolved, pa.string()))
 
 

@@ -103,3 +103,45 @@ def test_fingerprint_robust_to_distant_edit():
     fb = textstats.rolling_fingerprint(long_b)
     assert fa == fb  # keep-smallest windows unaffected by tail edit
     assert textstats.rolling_fingerprint("") == []
+
+
+def _clustered_sorted_ds(n_per=120, dim=16, seed=7):
+    # rows SORTED by cluster: limit(n)-style training would only ever
+    # see cluster 0 — the bias knn_ivf's hash-ordered sample must avoid
+    rng = np.random.default_rng(seed)
+    centers = rng.standard_normal((3, dim)).astype(np.float32) * 5
+    vecs = np.vstack(
+        [c + 0.05 * rng.standard_normal((n_per, dim)).astype(np.float32) for c in centers]
+    )
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(len(vecs)), pa.int64()),
+            "embedding": pa.array([v.tolist() for v in vecs], pa.list_(pa.float32())),
+        }
+    )
+    return rd.from_arrow(tbl).repartition(6), vecs
+
+
+def test_ivf_train_sample_unbiased_on_sorted_input(ray_session):
+    ds, vecs = _clustered_sorted_ds()
+    sample = knn._hash_sample_vecs(ds, vec_col="embedding", id_col="vec_id", n=60)
+    assert len(sample) == 60
+    # match each sampled vector back to its cluster; all 3 must appear
+    unit = lambda m: m / np.linalg.norm(m, axis=1, keepdims=True)
+    centers = np.stack([vecs[i * 120 : (i + 1) * 120].mean(axis=0) for i in range(3)])
+    assign = np.argmax(unit(sample) @ unit(centers.astype(np.float64)).T, axis=1)
+    assert set(assign.tolist()) == {0, 1, 2}
+
+
+def test_knn_ivf_recall_on_sorted_clustered_fixture(ray_session):
+    ds, vecs = _clustered_sorted_ds()
+    qids = [10, 150, 290]  # one query per cluster
+    res = knn.knn_ivf(ds, qids, vecs[qids], k=3, nlist=8, nprobe=3, train_sample=60).take_all()
+    truth = brute_truth(vecs, qids, 3)
+    got = {}
+    for r in res:
+        got.setdefault(r["query_id"], []).append((r["rank"], r["neighbor_id"]))
+    for q in qids:
+        want = set(truth[q])
+        have = {n for _, n in got.get(q, [])}
+        assert len(want & have) >= 2, (q, want, have)  # recall gate >= 2/3
