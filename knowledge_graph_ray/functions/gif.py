@@ -208,6 +208,10 @@ def decode_gif(payload: bytes) -> tuple[int, int, list[np.ndarray]]:
             canvas[top : top + fh, left : left + fw] = gct[bg_idx % len(gct)]
         elif disposal == 3:
             canvas = saved.copy()
+        # GIF89a: a GCE applies only to the single rendering block that
+        # follows — reset so later frames don't inherit it
+        transparent = None
+        disposal = 0
     return w, h, frames
 
 

@@ -147,21 +147,22 @@ def filter_pred_obj(
     obj_between: tuple[str, str] | None = None,
 ) -> Dataset:
     """One SPARQL-style triple pattern → matching rows."""
+    import pyarrow.compute as pc
+
     ds = triples.filter(expr=f"pred == '{pred}'")
     if obj_in is not None:
-        vals = set(obj_in)
+        vset = pa.array(sorted(set(obj_in)), pa.string())
         ds = ds.map_batches(
-            lambda b: b.filter(
-                pa.array([o in vals for o in b.column("obj").to_pylist()], pa.bool_())
-            ),
+            lambda b: b.filter(pc.is_in(b.column("obj"), value_set=vset)),
             batch_format="pyarrow",
         )
     if obj_between is not None:
         lo, hi = obj_between
         ds = ds.map_batches(
             lambda b: b.filter(
-                pa.array(
-                    [lo <= o <= hi for o in b.column("obj").to_pylist()], pa.bool_()
+                pc.and_(
+                    pc.greater_equal(b.column("obj"), lo),
+                    pc.less_equal(b.column("obj"), hi),
                 )
             ),
             batch_format="pyarrow",
@@ -198,22 +199,74 @@ def subjects_matching(
         )
     union = tagged[0].union(*tagged[1:]) if n > 1 else tagged[0]
 
-    # tree-distinct: per-batch dedup, then coalescing dedup rounds
-    # (pattern matches are selective → the distinct (subj, _pat) set is
-    # modest; for huge results switch the last level to groupby)
+    # bucketed conjunction: per-batch combiner, then ONE hash shuffle
+    # on subj — every subject's (subj, _pat) rows land whole in a
+    # bucket, where a vectorized nunique==n filter runs. (Match sets
+    # are corpus-proportional on big graphs; a repartition(1) funnel
+    # here would be a single-block scale escape.)
+    from knowledge_graph_ray.pipelines.relational import hash_bucket_agg
+
     slim = union.map_batches(
         lambda df: df.drop_duplicates(), batch_format="pandas", batch_size=None
     )
-    for p in (4, 1):
-        slim = slim.repartition(p).map_batches(
-            lambda df: df.drop_duplicates(), batch_format="pandas", batch_size=None
-        )
 
     def conj(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates()
         counts = df.groupby("subj")["_pat"].nunique().reset_index(name="_n")
         return counts[counts["_n"] == n][["subj"]]
 
-    return slim.map_batches(conj, batch_format="pandas", batch_size=None)
+    return hash_bucket_agg(slim, ["subj"], conj, num_buckets=num_partitions)
+
+
+def chain_subjects(
+    triples: Dataset,
+    start: list[dict],
+    hops: list[dict],
+    *,
+    num_partitions: int = 8,
+) -> Dataset:
+    """n-hop conjunctive pattern chain — the generalized
+    rdf_graph.ipynb cell 36-48 shape (SPARQLBurger-built queries with
+    patterns referencing prior bindings): ?v0 satisfies every ``start``
+    pattern; each hop ``{'pred': P, 'patterns': [...]}``
+    walks (?v_{i-1}, P, ?v_i) edges and keeps the ?v_i bindings that
+    satisfy the hop's own conjunctive patterns. Returns the DISTINCT
+    bindings of the final variable (one column ``subj``).
+
+    Execution (partitioning assumption documented): each hop is one
+    size-guarded semi-join of the pred-filtered edge table against the
+    current binding set plus one bucketed distinct — bindings stay a
+    Dataset end to end, nothing corpus-proportional crosses the
+    driver, and a third (or tenth) hop is just another loop turn."""
+    from knowledge_graph_ray.pipelines.relational import hash_bucket_agg, semi_join
+
+    cur = (
+        subjects_matching(triples, start, num_partitions=num_partitions)
+        if start
+        else None
+    )
+    for hop in hops:
+        edges = triples.filter(expr=f"pred == '{hop['pred']}'")
+        if cur is not None:
+            edges = semi_join(edges, cur, on="subj", num_partitions=num_partitions)
+        bound = edges.map_batches(
+            lambda b: pa.table({"subj": b.column("obj")}), batch_format="pyarrow"
+        ).map_batches(
+            lambda df: df.drop_duplicates(), batch_format="pandas", batch_size=None
+        )
+        cur = hash_bucket_agg(
+            bound,
+            ["subj"],
+            lambda df: df.drop_duplicates(),
+            num_buckets=num_partitions,
+        )
+        pats = hop.get("patterns") or []
+        if pats:
+            ok = subjects_matching(triples, pats, num_partitions=num_partitions)
+            cur = semi_join(cur, ok, on="subj", num_partitions=num_partitions)
+    if cur is None:
+        raise ValueError("chain needs start patterns or at least one hop")
+    return cur
 
 
 # --------------------------------------------------------------- S11

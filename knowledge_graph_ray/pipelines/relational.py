@@ -43,6 +43,11 @@ def broadcast_join(
     # the probe is a vectorized hash lookup (pandas Index.get_indexer,
     # C-speed) + Arrow take — no per-row Python loop on the hot path
     build_index = pd.Index(small.column(small_key).to_pylist())
+    if build_index.has_duplicates:  # get_indexer would raise InvalidIndexError
+        raise ValueError(
+            f"broadcast_join build side has duplicate keys in {small_key!r}; "
+            "deduplicate to one row per key first"
+        )
     build_cols = {c: small.column(c).combine_chunks() for c in cols}
     ref = ray.put((build_index, build_cols))
 
@@ -232,7 +237,10 @@ def asof_join(
     from BOTH sides land whole in one bucket — then each bucket runs
     ONE vectorized ``pandas.merge_asof`` over its sorted slice. One
     all-to-all of left+right; no global sort, no driver collection.
-    Right-side non-key columns must not collide with left column
+    The right ``on`` column is auto-suffixed ``__r_on`` in the output
+    when it would collide with a left column (so the default
+    ``right_on=None`` with same-named timestamps just works); other
+    right-side non-key columns must not collide with left column
     names (rename upstream). A hot ``by`` key bounds one bucket's
     work; pre-aggregate the right side upstream if it is dense."""
     import pandas as pd
@@ -241,7 +249,11 @@ def asof_join(
     right_by = right_by or by
     l_schema, r_schema = left.schema(), right.schema()
     left_names = list(l_schema.names)
-    r_names = list(r_schema.names)
+    rename_r = {right_by: by}
+    if right_on != right_by and right_on in left_names:
+        rename_r[right_on] = right_on + "__r_on"
+    right_on = rename_r.get(right_on, right_on)
+    r_names = [rename_r.get(n, n) if n != right_by else n for n in r_schema.names]
     r_types = dict(zip(r_names, r_schema.types))
     r_keep = [c for c in r_names if c != right_by]
     clash = set(r_keep) & set(left_names)
@@ -272,7 +284,7 @@ def asof_join(
         lambda t: pad(t, 0, {}), batch_format="pyarrow", batch_size=None
     )
     right_t = right.map_batches(
-        lambda t: pad(t, 1, {right_by: by}), batch_format="pyarrow", batch_size=None
+        lambda t: pad(t, 1, rename_r), batch_format="pyarrow", batch_size=None
     )
     both = left_t.union(right_t)
 
@@ -495,8 +507,13 @@ def hash_join(
     r_t = None if right_on is None else (
         (right_on,) if isinstance(right_on, str) else tuple(right_on)
     )
-    left = left.repartition(num_partitions)
-    right = right.repartition(num_partitions)
+    # split repartition itself emits zero-row blocks when a side holds
+    # fewer rows than the target count — clamp per side (materialize
+    # pins the side once so count() is metadata; split repartition is
+    # an AllToAll that would pin it anyway)
+    left, right = left.materialize(), right.materialize()
+    left = left.repartition(max(1, min(num_partitions, left.count())))
+    right = right.repartition(max(1, min(num_partitions, right.count())))
     return left.join(
         right,
         join_type=how,

@@ -93,22 +93,24 @@ def search(
     # fetch candidate rows + their docs' paragraphs (small side)
     import ray
 
-    keys_ref = ray.put(frozenset(cand_keys))
+    keys_ref = ray.put(pa.array(sorted(cand_keys), pa.int64()))
 
     def keep_cands(batch: pa.Table) -> pa.Table:
-        s = ray.get(keys_ref)
-        mask = [k in s for k in batch.column("para_key").to_pylist()]
-        return batch.filter(pa.array(mask, pa.bool_()))
+        import pyarrow.compute as pc
+
+        mask = pc.is_in(batch.column("para_key"), value_set=ray.get(keys_ref))
+        return batch.filter(mask)
 
     cand_rows = paras.map_batches(keep_cands, batch_format="pyarrow").take_all()
     by_key = {r["para_key"]: r for r in cand_rows}
     hit_docs = {r["doc_id"] for r in cand_rows}
-    docs_ref = ray.put(frozenset(hit_docs))
+    docs_ref = ray.put(pa.array(sorted(hit_docs), pa.int64()))
 
     def keep_docs(batch: pa.Table) -> pa.Table:
-        s = ray.get(docs_ref)
-        mask = [d in s for d in batch.column("doc_id").to_pylist()]
-        return batch.filter(pa.array(mask, pa.bool_()))
+        import pyarrow.compute as pc
+
+        mask = pc.is_in(batch.column("doc_id"), value_set=ray.get(docs_ref))
+        return batch.filter(mask)
 
     doc_paras = pd.DataFrame(
         [

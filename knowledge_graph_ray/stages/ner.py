@@ -122,3 +122,47 @@ class ModelNER(GazetteerNER):
             ((surf, lab, int(s), int(e)) for surf, lab, s, e in spans),
             key=lambda t: t[2],
         )
+
+
+class ModelTypeFlipActor:
+    """T5 model-based entity typing (entity_alias_mapping.ipynb cells
+    15-16): flip a rule-typed ``person`` to ``institution`` when a
+    transformers NER pipeline tags the NAME itself as an organisation
+    — the upgrade pass the reference runs over the Aktør table after
+    the M13 rules.
+
+    ``model_loader`` is called ONCE per actor and must return a
+    callable with the HF ``pipeline('ner', aggregation_strategy=...)``
+    interface: ``model(list[str]) -> list[list[dict]]`` where each
+    span dict carries ``entity_group`` (the reference chunks names
+    100 at a time — pass ``batch_size=100`` to ``map_batches`` for the
+    same shape). Rows whose rule type is already ``institution`` are
+    never un-flipped (reference semantics: the model only upgrades).
+    """
+
+    def __init__(
+        self,
+        model_loader,
+        name_col: str = "name",
+        type_col: str = "entity_type_rule",
+        out_col: str = "entity_type",
+        org_labels: tuple = ("ORG",),
+    ):
+        self.model = model_loader()  # once per actor (weights / device)
+        self.name_col = name_col
+        self.type_col = type_col
+        self.out_col = out_col
+        self.org_labels = set(org_labels)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        names = [n or "" for n in batch.column(self.name_col).to_pylist()]
+        types = batch.column(self.type_col).to_pylist()
+        preds = self.model(names)
+        out = [
+            "institution"
+            if t == "person"
+            and any(s.get("entity_group") in self.org_labels for s in spans)
+            else t
+            for t, spans in zip(types, preds)
+        ]
+        return batch.append_column(self.out_col, pa.array(out, pa.string()))

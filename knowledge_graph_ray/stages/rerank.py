@@ -29,3 +29,31 @@ class RerankActor:
             batch.column("query").to_pylist(), batch.column("text").to_pylist()
         )
         return batch.append_column("rerank_score", pa.array(scores, pa.float64()))
+
+
+class ModelRerankActor(RerankActor):
+    """Integration point for a REAL cross-encoder (the reference's
+    BERT reranker, bert_rerank.py:38-75): same candidate-row contract
+    as ``RerankActor`` but the model comes from a zero-arg
+    ``model_loader`` called ONCE per actor — e.g.
+    ``lambda: CrossEncoder("cross-encoder/...")``. The loader's object
+    must expose ``predict(list[tuple[str, str]]) -> (n,) float
+    scores`` (the sentence-transformers CrossEncoder interface).
+    Texts are truncated to ``max_chars`` before pairing (crude guard;
+    pass the model's own tokenizer-aware truncation upstream for exact
+    budgets). Deploy on GPUs via ``map_batches(ModelRerankActor,
+    concurrency=N, num_gpus=1, fn_constructor_kwargs=...)``."""
+
+    def __init__(self, model_loader, max_chars: int = 4096):
+        self.model = model_loader()  # once per actor (weights / device)
+        self.max_chars = max_chars
+
+    def score_pairs(self, queries: list[str], paras: list[str]) -> np.ndarray:
+        pairs = [
+            ((q or "")[: self.max_chars], (p or "")[: self.max_chars])
+            for q, p in zip(queries, paras)
+        ]
+        scores = np.asarray(self.model.predict(pairs), dtype=np.float64)
+        if scores.shape != (len(pairs),):
+            raise ValueError(f"model returned {scores.shape}, expected ({len(pairs)},)")
+        return np.round(scores, 6)

@@ -312,3 +312,24 @@ def test_bucketed_ops_survive_hot_key(ray_session):
     # session idx dense per user
     idxs = sorted(r["session_idx"] for r in hot)
     assert idxs == list(range(len(hot)))
+
+
+def test_asof_default_right_on_same_named_ts(ray_session):
+    # both sides name the timestamp "ts": default right_on must work,
+    # auto-suffixing the right on-column instead of raising
+    right = _right().rename_columns(["click_id", "uid", "ts"])
+    out = R.asof_join(
+        rd.from_arrow(_left()).repartition(3),
+        rd.from_arrow(right).repartition(2),
+        on="ts",
+        by="user_id",
+        right_by="uid",
+        num_buckets=4,
+    )
+    rows = {r["event_id"]: r for r in out.take_all()}
+    exp = _expected_backward()
+    for eid, want in exp.items():
+        got = rows[eid]["click_id"]
+        got = None if got is None else int(got)
+        assert got == want, (eid, got, want)
+    assert "ts__r_on" in out.schema().names

@@ -82,3 +82,29 @@ def test_frame_sampler_decodes_real_gif_frames(ray_session):
         w, h, c, img = decode_png(out.column("payload")[row].as_py())
         assert (w, h, c) == (12, 10, 3)
         assert (img == frames[src]).all()
+
+
+def test_gce_not_sticky_across_frames():
+    # GIF89a: a Graphic Control Extension applies ONLY to the next
+    # rendering block. Frame 1 carries transparency (idx 0); frame 2
+    # has NO GCE and must composite fully opaque.
+    import struct
+
+    from knowledge_graph_ray.functions.gif import _lzw_encode, decode_gif
+
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", 2, 1, 0x80, 0, 0)  # 2x1, 2-color GCT
+    out += bytes([0, 0, 0, 255, 255, 255])
+    def img(indices):
+        body = bytearray(b"\x2c" + struct.pack("<HHHHB", 0, 0, 2, 1, 0))
+        body.append(2)  # min code size
+        data = _lzw_encode(2, np.array(indices, np.uint8))
+        body.append(len(data)); body += data; body.append(0)
+        return bytes(body)
+    out += b"\x21\xf9\x04\x01\x00\x00\x00\x00"  # GCE: transparent idx 0
+    out += img([0, 1])  # pixel0 transparent, pixel1 white
+    out += img([0, 0])  # NO GCE: must paint both pixels black
+    out += b"\x3b"
+    w, h, frames = decode_gif(bytes(out))
+    assert (w, h, len(frames)) == (2, 1, 2)
+    assert frames[1].tolist() == [[[0, 0, 0], [0, 0, 0]]]

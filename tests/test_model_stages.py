@@ -102,3 +102,109 @@ def test_model_ner_actor_contract(ray_session):
     assert (m["surface"], m["label"], m["start"], m["end"]) == ("Orga 3", "ORG", 14, 20)
     # schema identical to the gazetteer stage (drop-in)
     assert set(m) == {"doc_id", "para_idx", "surface", "label", "start", "end"}
+
+
+def test_model_rerank_actor_contract(ray_session):
+    from knowledge_graph_ray.stages.rerank import ModelRerankActor
+
+    class FakeCrossEncoder:
+        """CrossEncoder-shaped: predict(list[(q, p)]) -> (n,) scores."""
+
+        def predict(self, pairs):
+            return np.array([float(len(set(q.split()) & set(p.split()))) for q, p in pairs])
+
+    tbl = pa.table(
+        {
+            "query": pa.array(["alpha beta", "alpha beta"]),
+            "text": pa.array(["beta gamma alpha", "delta"]),
+        }
+    )
+    out = (
+        rd.from_arrow(tbl)
+        .map_batches(
+            ModelRerankActor,
+            fn_constructor_kwargs={"model_loader": FakeCrossEncoder},
+            concurrency=(1, 1),
+            batch_format="pyarrow",
+        )
+        .take_all()
+    )
+    assert [r["rerank_score"] for r in out] == [2.0, 0.0]
+
+
+def test_loader_imports_framework_module_inside_actor(ray_session, tmp_path):
+    # the loader-per-actor path with a REAL import: a dummy module with
+    # the sentence-transformers interface is written to a dir visible
+    # to workers; the loader imports it INSIDE the actor process (the
+    # deploy-time shape: `lambda: SentenceTransformer(name)`)
+    from knowledge_graph_ray.stages.embed import ModelEmbedActor
+
+    pkg_dir = "/tmp/fake_frameworks_kgray"
+    import os
+
+    os.makedirs(pkg_dir, exist_ok=True)
+    with open(os.path.join(pkg_dir, "fake_sentence_transformers.py"), "w") as f:
+        f.write(
+            "import numpy as np\n"
+            "class SentenceTransformer:\n"
+            "    def __init__(self, name): self.name = name\n"
+            "    def encode(self, texts):\n"
+            "        out = np.zeros((len(texts), 8), dtype=np.float32)\n"
+            "        for i, t in enumerate(texts): out[i, 1] = len(t)\n"
+            "        return out\n"
+        )
+
+    def loader():
+        import sys
+
+        sys.path.insert(0, "/tmp/fake_frameworks_kgray")
+        from fake_sentence_transformers import SentenceTransformer
+
+        return SentenceTransformer("fake/model")
+
+    tbl = pa.table({"text": pa.array(["abc", "defgh"])})
+    out = (
+        rd.from_arrow(tbl)
+        .map_batches(
+            ModelEmbedActor,
+            fn_constructor_kwargs={"model_loader": loader, "dim": 8},
+            concurrency=(1, 1),
+            batch_format="pyarrow",
+        )
+        .take_all()
+    )
+    assert [r["embedding"][1] for r in out] == [3.0, 5.0]
+
+
+def test_model_type_flip_actor_t5(ray_session):
+    # T5: transformers-pipeline-shaped model upgrades rule-typed
+    # persons to institutions when the name itself is tagged ORG
+    from knowledge_graph_ray.stages.ner import ModelTypeFlipActor
+
+    class FakeNerPipeline:
+        def __call__(self, texts):
+            return [
+                [{"entity_group": "ORG", "word": t}] if "Committee" in t else []
+                for t in texts
+            ]
+
+    tbl = pa.table(
+        {
+            "entity_id": pa.array([1, 2, 3], pa.int64()),
+            "name": pa.array(["Jane Doe", "Budget Committee", "Fiscal Committee"]),
+            "entity_type_rule": pa.array(["person", "person", "institution"]),
+        }
+    )
+    out = (
+        rd.from_arrow(tbl)
+        .map_batches(
+            ModelTypeFlipActor,
+            fn_constructor_kwargs={"model_loader": FakeNerPipeline},
+            concurrency=(1, 1),
+            batch_size=100,  # the reference's chunk-of-100
+            batch_format="pyarrow",
+        )
+        .take_all()
+    )
+    got = {r["entity_id"]: r["entity_type"] for r in out}
+    assert got == {1: "person", 2: "institution", 3: "institution"}

@@ -215,3 +215,16 @@ def test_pin_schema_strips_pandas_nullable_metadata(ray_session):
     assert str(pinned.to_pandas()["a"].dtype) == "float64"
     rows = pinned.take_all()
     assert rows[0]["a"] == 1 and rows[1]["a"] is None
+
+
+def test_hash_join_side_smaller_than_partition_count(ray_session):
+    # a 3-row side with num_partitions=16 must not regenerate the
+    # zero-row blocks the empty-block guard exists to remove
+    left = rd.from_arrow(
+        pa.table({"k": pa.array([1, 2, 3], pa.int64()), "l": pa.array([10, 20, 30], pa.int64())})
+    )
+    right = rd.from_arrow(
+        pa.table({"k": pa.array([2, 3, 4], pa.int64()), "r": pa.array([7, 8, 9], pa.int64())})
+    )
+    out = R.hash_join(left, right, on="k", num_partitions=16).take_all()
+    assert sorted((r["k"], r["l"], r["r"]) for r in out) == [(2, 20, 7), (3, 30, 8)]
