@@ -61,8 +61,24 @@ class PatternOpenIE:
             ent = _alt(gaz)
             obj_alt = ent + ("|" + _alt(locs) if locs else "")
             pat = rf"\b(?P<s>{ent})\s+(?P<v>{verb_alt})\s+(?P<o>{obj_alt})\b"
+            # verb-anchored fast path: scanning the FULL alternation at
+            # every text position is O(positions × surfaces); verbs are
+            # a tiny lexicon, so scan for them alone, then try the
+            # subject alternation only on the short window before each
+            # verb hit and the object alternation anchored right after
+            self.verb_pattern = re.compile(rf"\b(?P<v>{verb_alt})\s+")
+            self.subj_pattern = re.compile(rf"(?P<s>{ent})$")
+            self.obj_pattern = re.compile(rf"(?P<o>{obj_alt})\b")
+            self.max_subj = max(len(s) for s in gaz)
+            # the fast path anchors on verb hits; a surface that itself
+            # contains a verb phrase could start a leftmost match the
+            # verb-anchored walk misses — fall back to the full scan
+            verb_in_surface = re.compile(rf"\b(?:{verb_alt})\b")
+            if any(verb_in_surface.search(s) for s in gaz + locs):
+                self.verb_pattern = None
         else:
             pat = rf"\b(?P<s>{_CAP_SPAN})\s+(?P<v>{verb_alt})\s+(?P<o>{_CAP_SPAN})\b"
+            self.verb_pattern = None
         self.pattern = re.compile(pat)
         self.ent_surfaces = set(gaz)
         self.loc_surfaces = set(locs)
@@ -82,19 +98,86 @@ class PatternOpenIE:
             out.append((m.group("s"), pred, obj, self._kind(obj)))
         return out
 
+    def _matches_fast(self, text: str):
+        """Verb-anchored scan, bit-identical to
+        ``pattern.finditer(text)`` (leftmost subject start, longest-
+        first alternatives, non-overlapping consumption) but O(verb
+        hits) alternation work instead of O(text positions)."""
+        out = []
+        last_end = 0
+        for vm in self.verb_pattern.finditer(text):
+            a = vm.start()
+            if a < last_end:
+                continue
+            w = a
+            while w > last_end and text[w - 1].isspace():
+                w -= 1
+            if w == a:  # no \s+ separator before the verb
+                continue
+            win_start = max(last_end, w - self.max_subj)
+            window = text[win_start:w]
+            pos = 0
+            sm = None
+            while True:
+                sm = self.subj_pattern.search(window, pos)
+                if sm is None:
+                    break
+                q_abs = win_start + sm.start("s")
+                # true \b in the FULL text (the window slice can fake
+                # a word boundary at its left edge)
+                prev = text[q_abs - 1] if q_abs > 0 else " "
+                if not (prev.isalnum() or prev == "_"):
+                    break
+                pos = sm.start("s") + 1
+            if sm is None:
+                continue
+            om = self.obj_pattern.match(text, vm.end())
+            if om is None:
+                continue
+            obj = om.group("o")
+            out.append((win_start + sm.start("s"), sm.group("s"),
+                        self.verbs[vm.group("v")], obj))
+            last_end = om.end()
+        return out
+
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import numpy as np
+
         doc_ids = batch.column("doc_id").to_pylist()
         para_idx = batch.column("para_idx").to_pylist()
         texts = batch.column("text").to_pylist()
-        o_doc, o_para, o_s, o_p, o_o, o_k = [], [], [], [], [], []
-        for did, pidx, text in zip(doc_ids, para_idx, texts):
-            for s, p, o, k in self.extract(text or ""):
-                o_doc.append(did)
-                o_para.append(pidx)
-                o_s.append(s)
-                o_p.append(p)
-                o_o.append(o)
-                o_k.append(k)
+        # ONE regex scan over the whole batch: rows are joined with a
+        # \x00 separator no pattern element can match or span (the
+        # alternations contain only \w/space/punct literals), so the
+        # match set is exactly the union of per-row matches; match
+        # offsets map back to rows via one vectorized searchsorted.
+        joined = "\x00".join(t or "" for t in texts)
+        starts = np.zeros(len(texts), dtype=np.int64)
+        if len(texts) > 1:
+            lens = np.fromiter(
+                (len(t or "") + 1 for t in texts), dtype=np.int64, count=len(texts)
+            )
+            np.cumsum(lens[:-1], out=starts[1:])
+        m_pos, m_s, m_p, m_o, m_k = [], [], [], [], []
+        if self.verb_pattern is not None:
+            for pos0, s, p, obj in self._matches_fast(joined):
+                m_pos.append(pos0)
+                m_s.append(s)
+                m_p.append(p)
+                m_o.append(obj)
+                m_k.append(self._kind(obj))
+        else:
+            for m in self.pattern.finditer(joined):
+                obj = m.group("o")
+                m_pos.append(m.start())
+                m_s.append(m.group("s"))
+                m_p.append(self.verbs[m.group("v")])
+                m_o.append(obj)
+                m_k.append(self._kind(obj))
+        rows = np.searchsorted(starts, np.asarray(m_pos, dtype=np.int64), side="right") - 1
+        o_doc = [doc_ids[r] for r in rows]
+        o_para = [para_idx[r] for r in rows]
+        o_s, o_p, o_o, o_k = m_s, m_p, m_o, m_k
         return pa.table(
             {
                 "doc_id": pa.array(o_doc, pa.int64()),

@@ -90,3 +90,35 @@ def test_openie_generic_fallback():
     assert out.column("subj_surface").to_pylist() == ["Alpha Corp"]
     assert out.column("obj_surface").to_pylist() == ["Beta Systems"]
     assert out.column("obj_kind").to_pylist() == ["span"]
+
+
+def test_openie_fast_path_matches_full_scan_fuzz():
+    # the verb-anchored fast path must be bit-identical to
+    # pattern.finditer semantics (leftmost subject, longest-first
+    # alternatives, non-overlapping consumption)
+    import random
+
+    from knowledge_graph_ray.stages.openie import PatternOpenIE
+
+    gaz = [f"Orga {i}" for i in range(30)] + ["Alpha Beta", "Alpha", "Beta Gamma"]
+    ie = PatternOpenIE(gazetteer=gaz, locations=["Kobenhavn", "Aarhus"])
+    assert ie.verb_pattern is not None
+    verbs = ["is located in", "partnered with", "works for", "acquired",
+             "advises", "leads", "met"]
+    toks = gaz + verbs + ["and", "the", "x", "Y,", ".", ",", "  ", "Xx", "Kobenhavn"]
+    rng = random.Random(13)
+    for _ in range(1500):
+        t = " ".join(rng.choice(toks) for _ in range(rng.randint(0, 22)))
+        slow = ie.extract(t)
+        fast = [(s, p, o, ie._kind(o)) for _, s, p, o in ie._matches_fast(t)]
+        assert fast == slow, t
+
+
+def test_openie_fast_path_disabled_when_surface_contains_verb():
+    from knowledge_graph_ray.stages.openie import PatternOpenIE
+
+    ie = PatternOpenIE(gazetteer=["Group leads Council", "Orga 1"], locations=[])
+    assert ie.verb_pattern is None  # falls back to the full scan
+    # and the full scan still finds the leftmost long-subject match
+    out = ie.extract("Group leads Council met Orga 1 today")
+    assert out == [("Group leads Council", "met", "Orga 1", "ent")]
