@@ -51,6 +51,53 @@ def literal_dtype(value) -> str:
     return "string"
 
 
+def _render_column(col: pa.ChunkedArray | pa.Array) -> tuple[pa.Array, str]:
+    """Vectorized ``render_literal`` for a whole column: Arrow kernels
+    per type, with the SAME literal text as the scalar path (the
+    oracle-parity contract — timestamps '%Y-%m-%d %H:%M:%S', dates
+    '%Y-%m-%d', ints exact, bools true/false). Floats keep a Python
+    repr() map — Python shortest-round-trip repr equals DuckDB's
+    varchar cast, and Arrow's float→string formatting does not."""
+    import pyarrow.compute as pc
+
+    t = col.type
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col, "string"
+    if pa.types.is_boolean(t):
+        out = pc.if_else(col, "true", "false")
+        return out, "boolean"
+    if pa.types.is_integer(t):
+        return pc.cast(col, pa.string()), "integer"
+    if pa.types.is_timestamp(t):
+        # cast to second resolution first: Arrow's %S prints fractional
+        # seconds, the scalar path (strftime on datetime) truncates
+        secs = pc.cast(col, pa.timestamp("s"), safe=False)
+        return pc.strftime(secs, format="%Y-%m-%d %H:%M:%S"), "dateTime"
+    if pa.types.is_date(t):
+        return pc.strftime(col, format="%Y-%m-%d"), "date"
+    if pa.types.is_floating(t):
+        vals = col.to_pylist()
+        return pa.array(
+            [None if v is None else repr(float(v)) for v in vals], pa.string()
+        ), "double"
+    vals = col.to_pylist()
+    return pa.array(
+        [None if v is None else render_literal(v) for v in vals], pa.string()
+    ), ("string" if not len(vals) or vals[0] is None else literal_dtype(
+        next(v for v in vals if v is not None)
+    ))
+
+
+def _uri_column(node_type: str, ids: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """'{node_type}:{id}' for a whole column (Arrow concat kernel)."""
+    import pyarrow.compute as pc
+
+    as_str = ids if pa.types.is_string(ids.type) else pc.cast(ids, pa.string())
+    return pc.binary_join_element_wise(
+        pa.scalar(node_type), as_str, ":"
+    )
+
+
 def node_triples(
     batch: pa.Table,
     *,
@@ -58,34 +105,40 @@ def node_triples(
     node_type: str,
     attrs: list[str] | None = None,
 ) -> pa.Table:
-    """G1 unpivot kernel: rows → triples. attrs defaults to every
-    column except the id."""
+    """G1 unpivot kernel: rows → triples, fully vectorized (one Arrow
+    kernel chain per attribute column — no Python row loop; triple
+    consumers downstream are order-insensitive). attrs defaults to
+    every column except the id."""
+    import pyarrow.compute as pc
+
     cols = attrs if attrs is not None else [c for c in batch.column_names if c != id_col]
-    ids = batch.column(id_col).to_pylist()
-    data = {c: batch.column(c).to_pylist() for c in cols}
-    o_s, o_p, o_o, o_d = [], [], [], []
-    for i, rid in enumerate(ids):
-        subj = f"{node_type}:{rid}"
-        o_s.append(subj)
-        o_p.append("rdf:type")
-        o_o.append(node_type)
-        o_d.append("resource")
-        for c in cols:
-            v = data[c][i]
-            if v is None:
-                continue
-            o_s.append(subj)
-            o_p.append(c)
-            o_o.append(render_literal(v))
-            o_d.append(literal_dtype(v))
-    return pa.table(
-        {
-            "subj": pa.array(o_s, pa.string()),
-            "pred": pa.array(o_p, pa.string()),
-            "obj": pa.array(o_o, pa.string()),
-            "obj_dtype": pa.array(o_d, pa.string()),
-        }
-    )
+    n = batch.num_rows
+    subj = _uri_column(node_type, batch.column(id_col))
+    parts = [
+        pa.table(
+            {
+                "subj": subj,
+                "pred": pa.array(["rdf:type"] * n, pa.string()),
+                "obj": pa.array([node_type] * n, pa.string()),
+                "obj_dtype": pa.array(["resource"] * n, pa.string()),
+            }
+        )
+    ]
+    for c in cols:
+        col = batch.column(c)
+        rendered, dtype = _render_column(col)
+        part = pa.table(
+            {
+                "subj": subj,
+                "pred": pa.array([c] * n, pa.string()),
+                "obj": rendered,
+                "obj_dtype": pa.array([dtype] * n, pa.string()),
+            }
+        )
+        if col.null_count:  # a null attr emits no triple
+            part = part.filter(pc.is_valid(col))
+        parts.append(part)
+    return pa.concat_tables(parts).combine_chunks()
 
 
 def encode_role(role: str) -> str:
@@ -106,35 +159,47 @@ def edge_triples(
     role_map: dict | None = None,
 ) -> pa.Table:
     """G2 kernel: one link row → forward + inverse (+ role) triples.
-    role_map is the broadcast role dim (role_id → role label)."""
-    srcs = batch.column(src_col).to_pylist()
-    dsts = batch.column(dst_col).to_pylist()
-    roles = batch.column(role_col).to_pylist() if role_col else [None] * len(srcs)
-    o_s, o_p, o_o, o_d = [], [], [], []
-    for s, d, r in zip(srcs, dsts, roles):
-        subj = f"{src_type}:{s}"
-        obj = f"{dst_type}:{d}"
-        o_s.append(subj)
-        o_p.append(fwd_pred)
-        o_o.append(obj)
-        o_d.append("resource")
-        o_s.append(obj)
-        o_p.append(inv_pred)
-        o_o.append(subj)
-        o_d.append("resource")
-        if role_col is not None and r is not None and role_map and r in role_map:
-            o_s.append(subj)
-            o_p.append(encode_role(role_map[r]))
-            o_o.append(obj)
-            o_d.append("resource")
-    return pa.table(
-        {
-            "subj": pa.array(o_s, pa.string()),
-            "pred": pa.array(o_p, pa.string()),
-            "obj": pa.array(o_o, pa.string()),
-            "obj_dtype": pa.array(o_d, pa.string()),
-        }
-    )
+    role_map is the broadcast role dim (role_id → role label).
+    Vectorized: Arrow concat kernels build the URI columns once; the
+    role predicate is a pandas map over the broadcast dim (triple
+    consumers downstream are order-insensitive)."""
+    import pyarrow.compute as pc
+
+    n = batch.num_rows
+    subj_col = _uri_column(src_type, batch.column(src_col))
+    obj_col = _uri_column(dst_type, batch.column(dst_col))
+    res = pa.array(["resource"] * n, pa.string())
+    parts = [
+        pa.table(
+            {
+                "subj": subj_col,
+                "pred": pa.array([fwd_pred] * n, pa.string()),
+                "obj": obj_col,
+                "obj_dtype": res,
+            }
+        ),
+        pa.table(
+            {
+                "subj": obj_col,
+                "pred": pa.array([inv_pred] * n, pa.string()),
+                "obj": subj_col,
+                "obj_dtype": res,
+            }
+        ),
+    ]
+    if role_col is not None and role_map:
+        import pandas as pd
+
+        roles = batch.column(role_col).to_pandas()
+        mapped = roles.map({k: encode_role(v) for k, v in role_map.items()})
+        pred = pa.array(mapped.astype("object").where(mapped.notna(), None), pa.string())
+        part = pa.table(
+            {"subj": subj_col, "pred": pred, "obj": obj_col, "obj_dtype": res}
+        )
+        if pred.null_count:
+            part = part.filter(pc.is_valid(pred))
+        parts.append(part)
+    return pa.concat_tables(parts).combine_chunks()
 
 
 # --------------------------------------------------------------- G3
