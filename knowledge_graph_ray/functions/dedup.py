@@ -166,6 +166,28 @@ def exact_dedup(ds: Dataset, text_col: str = "text", id_col: str = "doc_id") -> 
     return hash_bucket_agg(partial, [text_col], merge, num_buckets=64)
 
 
+def incremental_exact_dedup(
+    new_docs: Dataset,
+    seen: Dataset,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> Dataset:
+    """Append-only ingest dedup (the nightly-shard shape at corpus
+    scale): drop NEW rows whose text already exists in the ingested
+    corpus, then first-wins exact dedup WITHIN the new shard. ``seen``
+    is a Dataset holding the prior corpus texts (any projection with
+    ``text_col`` — e.g. the ``text`` column of previous
+    ``exact_dedup`` outputs read back from parquet). The seen side
+    goes through the size-guarded anti semi-join (broadcast under
+    ``max_broadcast``, distributed hash join above), so a shard append
+    never re-shuffles or re-deduplicates the existing corpus."""
+    from knowledge_graph_ray.pipelines.relational import semi_join
+
+    fresh = semi_join(new_docs, seen, on=text_col, right_on=text_col, anti=True)
+    return exact_dedup(fresh, text_col=text_col, id_col=id_col)
+
+
 # -------------------------------------------------------------- minhash
 
 class MinHasher:

@@ -505,6 +505,32 @@ FROM documents GROUP BY text
 """
 
 
+def q_docs_incremental_dedup(sf_dir: str) -> Dataset:
+    """Append-only ingest dedup: even doc_ids play the already-
+    ingested corpus, odd doc_ids the incoming shard — new rows whose
+    text is already ingested are dropped via the size-guarded anti
+    semi-join, then first-wins dedup within the shard."""
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def half(batch: pa.Table, want_odd: int) -> pa.Table:
+        parity = pc.bit_wise_and(batch.column("doc_id"), 1)
+        return batch.filter(pc.equal(parity, want_odd))
+
+    seen = docs.map_batches(lambda b: half(b, 0), batch_format="pyarrow")
+    new = docs.map_batches(lambda b: half(b, 1), batch_format="pyarrow")
+    return dedup.incremental_exact_dedup(new, seen)
+
+
+SQL_DOCS_INCREMENTAL_DEDUP = """
+WITH seen AS (SELECT DISTINCT text FROM documents WHERE doc_id % 2 = 0),
+     new AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1)
+SELECT n.text AS text, MIN(n.doc_id) AS keep_id, COUNT(*) AS dup_count
+FROM new n
+WHERE n.text NOT IN (SELECT text FROM seen)
+GROUP BY n.text
+"""
+
+
 def q_docs_token_counts(sf_dir: str) -> Dataset:
     ds = _read(sf_dir, "documents").select_columns(["doc_id", "text"])
     return ds.map_batches(textstats.token_count_batch, batch_format="pyarrow", batch_size=None).select_columns(
@@ -2090,6 +2116,7 @@ QUERIES = {
     "graph_2hop": q_graph_2hop,
     "graph_3hop_items": q_graph_3hop_items,
     "docs_exact_dedup": q_docs_exact_dedup,
+    "docs_incremental_dedup": q_docs_incremental_dedup,
     "docs_token_counts": q_docs_token_counts,
     "docs_quality": q_docs_quality,
     "docs_lang_counts": q_docs_lang_counts,
@@ -2116,7 +2143,6 @@ QUERIES = {
     "docs_simhash_pairs": q_docs_simhash_pairs,
     "embedding_dup_pairs": q_embedding_dup_pairs,
     "docs_langid": q_docs_langid,
-    "docs_fingerprint": q_docs_fingerprint,
     # rows-only (non-SQL-expressible)
     "kg_flagship": q_kg_flagship,
     "docs_wordpiece": q_docs_wordpiece,
@@ -2131,6 +2157,7 @@ QUERIES = {
     "pdf_corpus_extract": q_pdf_corpus_extract,
     # --- after the driver's 50-row window: families above keep a row;
     # each of these stays pytest-gated (and was green in r01/r02)
+    "docs_fingerprint": q_docs_fingerprint,
     "docs_lang_length_quantiles": q_docs_lang_length_quantiles,
     "docs_dup_components_pregel": q_docs_dup_components_pregel,
     "graph_pagerank_pregel": q_graph_pagerank_pregel,
@@ -2155,6 +2182,7 @@ ORACLE_SQL = {
     "graph_2hop": SQL_GRAPH_2HOP,
     "graph_3hop_items": SQL_GRAPH_3HOP_ITEMS,
     "docs_exact_dedup": SQL_DOCS_EXACT_DEDUP,
+    "docs_incremental_dedup": SQL_DOCS_INCREMENTAL_DEDUP,
     "docs_token_counts": SQL_DOCS_TOKEN_COUNTS,
     "docs_quality": SQL_DOCS_QUALITY,
     "docs_lang_counts": SQL_DOCS_LANG_COUNTS,

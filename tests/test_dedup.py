@@ -162,3 +162,19 @@ def test_group_cap_bounds_work(ray_session):
     ids = {x for r in pairs for x in (r["a"], r["b"])}
     assert max(ids) <= 9
     assert len(pairs) == 45  # 10 choose 2
+
+
+def test_incremental_exact_dedup(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    seen = rd.from_arrow(pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                                   "text": pa.array(["old a", "old b"])}))
+    new = rd.from_arrow(pa.table({
+        "doc_id": pa.array([10, 11, 12, 13], pa.int64()),
+        "text": pa.array(["old a", "fresh x", "fresh x", "fresh y"]),
+    }))
+    out = {r["text"]: (r["keep_id"], r["dup_count"])
+           for r in dedup.incremental_exact_dedup(new, seen).take_all()}
+    # already-ingested text dropped; within-shard first-wins with counts
+    assert out == {"fresh x": (11, 2), "fresh y": (13, 1)}
