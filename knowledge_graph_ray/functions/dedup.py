@@ -348,6 +348,51 @@ def _bucket_pairs_minhash(
     return _pair_frame(ids, est, threshold)
 
 
+def minhash_band_index(
+    ds: Dataset,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    seed: int = 42,
+) -> Dataset:
+    """The banded signature table (band_key, id, sig) — per-doc
+    independent, so it doubles as a PERSISTABLE index: write it to
+    parquet once per ingested shard and future appends never re-read
+    or re-hash the ingested text (see ``incremental_minhash_drops``)."""
+    return ds.map_batches(
+        lambda b: minhash_band_rows(
+            b,
+            text_col=text_col,
+            id_col=id_col,
+            n_hashes=n_hashes,
+            bands=bands,
+            shingle_k=shingle_k,
+            seed=seed,
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def minhash_pairs_from_bands(
+    banded: Dataset,
+    *,
+    threshold: float = 0.7,
+    group_cap: int = DEFAULT_GROUP_CAP,
+) -> Dataset:
+    """Candidate pairs from an (already banded) signature table. The
+    only wide op is groupby(band_key); pair dedup is a second small
+    shuffle."""
+    pairs = _collision_only(banded, "band_key").groupby("band_key").map_groups(
+        lambda df: _bucket_pairs_minhash(df, threshold, group_cap),
+        batch_format="pandas",
+    )
+    # same pair can surface from several bands → dedup on (a, b)
+    return _dedup_pairs(pairs, agg="min")
+
+
 def minhash_lsh_pairs(
     ds: Dataset,
     *,
@@ -360,26 +405,92 @@ def minhash_lsh_pairs(
     group_cap: int = DEFAULT_GROUP_CAP,
     seed: int = 42,
 ) -> Dataset:
-    """Near-dup candidate pairs via MinHash + LSH banding. The only
-    wide op is groupby(band_key); pair dedup is a second small shuffle."""
-    banded = ds.map_batches(
-        lambda b: minhash_band_rows(
-            b,
-            text_col=text_col,
-            id_col=id_col,
-            n_hashes=n_hashes,
-            bands=bands,
-            shingle_k=shingle_k,
-            seed=seed,
-        ),
-        batch_format="pyarrow",
+    """Near-dup candidate pairs via MinHash + LSH banding
+    (band → collision pre-filter → bucket kernel, composed from
+    ``minhash_band_index`` + ``minhash_pairs_from_bands``)."""
+    banded = minhash_band_index(
+        ds,
+        text_col=text_col,
+        id_col=id_col,
+        n_hashes=n_hashes,
+        bands=bands,
+        shingle_k=shingle_k,
+        seed=seed,
     )
-    pairs = _collision_only(banded, "band_key").groupby("band_key").map_groups(
-        lambda df: _bucket_pairs_minhash(df, threshold, group_cap),
-        batch_format="pandas",
+    return minhash_pairs_from_bands(banded, threshold=threshold, group_cap=group_cap)
+
+
+def incremental_minhash_drops(
+    new_docs: Dataset,
+    seen_bands: Dataset,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    threshold: float = 0.7,
+    group_cap: int = DEFAULT_GROUP_CAP,
+    seed: int = 42,
+    num_buckets: int = 16,
+) -> Dataset:
+    """Append-only near-dup: which NEW ids to drop, given the
+    PERSISTED band index of the ingested corpus (``seen_bands`` =
+    ``minhash_band_index`` output read back from parquet — the
+    ingested text is never re-read, re-shingled or re-hashed; only
+    its 8-byte band keys + signatures shuffle again).
+
+    Survivor rule (documented): an ingested doc always beats a new
+    near-duplicate (the new id is dropped); among the remaining new
+    docs, transitive components keep the min id. Id spaces must be
+    disjoint across shards (stable global doc ids). Returns a Dataset
+    with one column ``node`` (ids to drop), applicable with
+    ``relational.semi_join(new_docs, drops, on=id_col,
+    right_on='node', anti=True)``."""
+    from knowledge_graph_ray.pipelines.relational import semi_join
+
+    new_bands = minhash_band_index(
+        new_docs,
+        text_col=text_col,
+        id_col=id_col,
+        n_hashes=n_hashes,
+        bands=bands,
+        shingle_k=shingle_k,
+        seed=seed,
     )
-    # same pair can surface from several bands → dedup on (a, b)
-    return _dedup_pairs(pairs, agg="min")
+    pairs = minhash_pairs_from_bands(
+        seen_bands.union(new_bands), threshold=threshold, group_cap=group_cap
+    ).materialize()  # consumed by several classification joins below
+    new_ids = new_docs.select_columns([id_col])
+    a_new = semi_join(pairs, new_ids, on="a", right_on=id_col).materialize()
+    both_new = semi_join(a_new, new_ids, on="b", right_on=id_col)
+    a_new_b_seen = semi_join(a_new, new_ids, on="b", right_on=id_col, anti=True)
+    a_seen = semi_join(pairs, new_ids, on="a", right_on=id_col, anti=True)
+    b_new_a_seen = semi_join(a_seen, new_ids, on="b", right_on=id_col)
+
+    def col_as_node(name):
+        def kernel(batch: pa.Table) -> pa.Table:
+            return pa.table({"node": batch.column(name)})
+
+        return kernel
+
+    cross = a_new_b_seen.map_batches(
+        col_as_node("a"), batch_format="pyarrow"
+    ).union(b_new_a_seen.map_batches(col_as_node("b"), batch_format="pyarrow"))
+    within = transitive_drops(both_new, num_buckets=num_buckets)
+    merged = cross.union(within)
+
+    def distinct(df):
+        return df.drop_duplicates()
+
+    from knowledge_graph_ray.pipelines.relational import hash_bucket_agg
+
+    return hash_bucket_agg(
+        merged.map_batches(distinct, batch_format="pandas", batch_size=None),
+        ["node"],
+        distinct,
+        num_buckets=num_buckets,
+    )
 
 
 # -------------------------------------------------------------- simhash

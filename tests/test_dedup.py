@@ -9,6 +9,7 @@ import pytest
 import ray.data as rd
 
 from knowledge_graph_ray.functions import dedup
+from knowledge_graph_ray.pipelines import relational as R
 
 
 def docs_ds(texts):
@@ -178,3 +179,34 @@ def test_incremental_exact_dedup(ray_session):
            for r in dedup.incremental_exact_dedup(new, seen).take_all()}
     # already-ingested text dropped; within-shard first-wins with counts
     assert out == {"fresh x": (11, 2), "fresh y": (13, 1)}
+
+
+def test_incremental_minhash_drops(ray_session, tmp_path):
+    import pyarrow as pa
+    import ray.data as rd
+
+    base = ("the quick brown fox jumps over the lazy dog and then runs far away "
+            "into the deep dark woods beyond the river bank tonight")
+    seen = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array([base, "completely different ingested text about parquet shuffles and arrow kernels in ray data pipelines"]),
+    }))
+    # persist the band index (the incremental contract: text never re-read)
+    idx_dir = str(tmp_path / "bands")
+    dedup.minhash_band_index(seen).write_parquet(idx_dir)
+    seen_bands = rd.read_parquet(idx_dir)
+
+    near_seen = base.replace("tonight", "today")     # near-dup of ingested 1
+    new_a = ("fresh unique document with its own content talking about "
+             "entirely new topics like gardening and recipes for slow cooked stews")
+    new_b = new_a.replace("stews", "soups")          # near-dup within shard
+    new = rd.from_arrow(pa.table({
+        "doc_id": pa.array([10, 11, 12], pa.int64()),
+        "text": pa.array([near_seen, new_a, new_b]),
+    }))
+    drops = {r["node"] for r in dedup.incremental_minhash_drops(new, seen_bands).take_all()}
+    assert 10 in drops          # loses to ingested doc 1
+    assert drops & {11, 12} == {12}   # within-shard: min id 11 survives
+    survivors = R.semi_join(new, dedup.incremental_minhash_drops(new, seen_bands),
+                            on="doc_id", right_on="node", anti=True)
+    assert sorted(r["doc_id"] for r in survivors.take_all()) == [11]

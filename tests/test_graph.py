@@ -234,3 +234,39 @@ def test_graph_ops_handle_empty_inputs(ray_session):
     )
     assert pagerank(no_edges, num_buckets=4).count() == 0
     assert pagerank_pregel(no_edges, num_buckets=4).count() == 0
+
+
+def test_chain_subjects_three_hops(ray_session):
+    # hand-built triple set: a -knows-> b -owns-> c -near-> d, with
+    # constraints at the start and at hop targets
+    import pyarrow as pa
+    import ray.data as rd
+
+    from knowledge_graph_ray.functions.triples import chain_subjects
+
+    rows = [
+        ("p:1", "kind", "good"), ("p:2", "kind", "bad"),
+        ("p:1", "knows", "q:1"), ("p:2", "knows", "q:2"),
+        ("q:1", "level", "high"), ("q:2", "level", "high"),
+        ("q:1", "owns", "r:1"), ("q:1", "owns", "r:2"), ("q:2", "owns", "r:3"),
+        ("r:1", "color", "red"), ("r:2", "color", "blue"), ("r:3", "color", "red"),
+        ("r:1", "near", "s:1"), ("r:2", "near", "s:2"), ("r:3", "near", "s:3"),
+    ]
+    t = pa.table({
+        "subj": pa.array([r[0] for r in rows]),
+        "pred": pa.array([r[1] for r in rows]),
+        "obj": pa.array([r[2] for r in rows]),
+        "obj_dtype": pa.array(["string"] * len(rows)),
+    })
+    ds = rd.from_arrow(t).repartition(3)
+    out = chain_subjects(
+        ds,
+        [{"pred": "kind", "obj_in": ["good"]}],            # p:1 only
+        [
+            {"pred": "knows", "patterns": [{"pred": "level", "obj_in": ["high"]}]},  # q:1
+            {"pred": "owns", "patterns": [{"pred": "color", "obj_in": ["red"]}]},    # r:1 (r:2 is blue)
+            {"pred": "near"},                                                         # s:1
+        ],
+        num_partitions=4,
+    )
+    assert sorted(r["subj"] for r in out.take_all()) == ["s:1"]
