@@ -508,12 +508,14 @@ def hash_join(
         (right_on,) if isinstance(right_on, str) else tuple(right_on)
     )
     # split repartition itself emits zero-row blocks when a side holds
-    # fewer rows than the target count — clamp per side (materialize
-    # pins the side once so count() is metadata; split repartition is
-    # an AllToAll that would pin it anyway)
-    left, right = left.materialize(), right.materialize()
-    left = left.repartition(max(1, min(num_partitions, left.count())))
-    right = right.repartition(max(1, min(num_partitions, right.count())))
+    # fewer rows than the target count — clamp per side. The row probe
+    # is limit(k).count(): it EARLY-STOPS after k rows, so a big side
+    # pays a few blocks of re-execution, never a full materialize copy
+    def _clamped(side: Dataset) -> Dataset:
+        probe = side.limit(num_partitions).count()
+        return side.repartition(max(1, min(num_partitions, probe)))
+
+    left, right = _clamped(left), _clamped(right)
     return left.join(
         right,
         join_type=how,
