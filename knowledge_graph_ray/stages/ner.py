@@ -29,13 +29,47 @@ def _maybe_get(obj):
     return ray.get(obj) if isinstance(obj, ray.ObjectRef) else obj
 
 
+def trie_alternation(surfaces: list[str]) -> str:
+    """Trie-collapsed alternation body, match-equivalent to the flat
+    longest-first alternation ``(?:s1|s2|...)`` but O(shared-prefix)
+    for the regex engine instead of O(alternatives) per text position
+    (a 17k-alias gazetteer makes the flat form the scan bottleneck).
+    Longest-match order is preserved: shared suffixes become GREEDY
+    optional groups — ``(?:X)?`` tries X before empty, and the engine
+    backtracks shorter exactly like the flat longest-first form."""
+    trie: dict = {}
+    for s in sorted(set(surfaces)):
+        if not s:
+            continue
+        node = trie
+        for ch in s:
+            node = node.setdefault(ch, {})
+        node["\0"] = None  # terminal marker (no surface contains NUL)
+
+    def emit(node: dict) -> str | None:
+        keys = sorted(k for k in node if k != "\0")
+        terminal = "\0" in node
+        if not keys:
+            return None
+        branches = []
+        for k in keys:
+            sub = emit(node[k])
+            branches.append(re.escape(k) + (sub or ""))
+        body = branches[0] if len(branches) == 1 else "(?:" + "|".join(branches) + ")"
+        if terminal:
+            return "(?:" + body + ")?"
+        return body
+
+    return "(?:" + (emit(trie) or "") + ")"
+
+
 def compile_gazetteer(surfaces: list[str]) -> re.Pattern | None:
-    """Longest-first alternation with word boundaries so 'Orga 1' never
-    matches inside 'Orga 12'."""
+    """Longest-match gazetteer scanner with word boundaries so 'Orga 1'
+    never matches inside 'Orga 12' (trie-collapsed — see
+    ``trie_alternation``)."""
     if not surfaces:
         return None
-    alts = sorted(set(surfaces), key=len, reverse=True)
-    return re.compile(r"\b(?:" + "|".join(re.escape(s) for s in alts) + r")\b")
+    return re.compile(r"\b" + trie_alternation(surfaces) + r"\b")
 
 
 class GazetteerNER:

@@ -40,9 +40,12 @@ _CAP_SPAN = r"[A-Z][\w]*(?: [A-Z][\w]*)*"
 
 
 def _alt(surfaces: list[str]) -> str:
-    return "|".join(
-        re.escape(s) for s in sorted(set(surfaces), key=len, reverse=True)
-    )
+    # trie-collapsed, match-equivalent to the flat longest-first
+    # alternation (see ner.trie_alternation) — O(shared prefix) per
+    # position instead of O(alternatives)
+    from knowledge_graph_ray.stages.ner import trie_alternation
+
+    return trie_alternation(surfaces)
 
 
 class PatternOpenIE:

@@ -122,3 +122,27 @@ def test_openie_fast_path_disabled_when_surface_contains_verb():
     # and the full scan still finds the leftmost long-subject match
     out = ie.extract("Group leads Council met Orga 1 today")
     assert out == [("Group leads Council", "met", "Orga 1", "ent")]
+
+
+def test_trie_alternation_matches_flat_fuzz():
+    import random
+    import re as _re
+
+    from knowledge_graph_ray.stages.ner import trie_alternation
+
+    def flat(surfaces):
+        alts = sorted({s for s in surfaces if s}, key=len, reverse=True)
+        return _re.compile(r"\b(?:" + "|".join(_re.escape(s) for s in alts) + r")\b")
+
+    base = ["Orga", "Orga 1", "Orga 12", "Orga 123", "A.B", "A.B.C",
+            "X-ray", "X", "Alpha Beta", "Alpha", "Beta"]
+    rng = random.Random(5)
+    for _ in range(800):
+        surf = rng.sample(base, rng.randint(1, 8))
+        f = flat(surf)
+        t = _re.compile(r"\b" + trie_alternation(surf) + r"\b")
+        toks = surf + ["xOrga", "Orga 1234", "and", ".", "Orga 12x", "A.B.Cd"]
+        text = " ".join(rng.choice(toks) for _ in range(rng.randint(0, 15)))
+        fm = [(m.start(), m.group(0)) for m in f.finditer(text)]
+        tm = [(m.start(), m.group(0)) for m in t.finditer(text)]
+        assert fm == tm, (surf, text)
