@@ -692,7 +692,8 @@ def embedding_cosine_pairs(
         )
         if n == 0:  # an empty block must not reach vecs.shape[1]
             return empty
-        vecs = np.asarray(batch.column(vec_col).to_pylist(), dtype=np.float64)
+        from knowledge_graph_ray.stages.knn import vec_matrix
+        vecs = np.asarray(vec_matrix(batch.column(vec_col)), dtype=np.float64)
         d = dim or vecs.shape[1]
         rng = np.random.default_rng(seed)
         planes = rng.standard_normal((d, nbits))

@@ -40,6 +40,25 @@ def _unit_rows(m: np.ndarray) -> np.ndarray:
     return m / n
 
 
+def vec_matrix(col) -> np.ndarray:
+    """Arrow list/fixed_size_list embedding column → (n, dim) ndarray
+    via the flat values buffer (zero-copy reshape) — ``to_pylist``
+    built n Python lists per corpus batch on the ANN scan hot path."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    t = col.type
+    if pa.types.is_fixed_size_list(t):
+        flat = col.values.to_numpy(zero_copy_only=False)
+        return flat.reshape(len(col), t.list_size)
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        offs = col.offsets.to_numpy(zero_copy_only=False)
+        widths = np.diff(offs)
+        if len(widths) and (widths == widths[0]).all():
+            flat = col.values.to_numpy(zero_copy_only=False)
+            return flat[offs[0] : offs[-1]].reshape(len(col), int(widths[0]))
+    return np.asarray(col.to_pylist())  # ragged fallback
+
+
 def _merge_topk(df: pd.DataFrame, k: int) -> pd.DataFrame:
     df = df.sort_values(["score", "neighbor_id"], ascending=[False, True]).head(k)
     df = df.reset_index(drop=True)
@@ -64,7 +83,7 @@ def knn_topk(
     def partial(batch: pa.Table) -> pa.Table:
         qids, qm = ray.get(refs)
         ids = np.asarray(batch.column(id_col).to_pylist(), dtype=np.int64)
-        vecs = _unit_rows(np.asarray(batch.column(vec_col).to_pylist()))
+        vecs = _unit_rows(vec_matrix(batch.column(vec_col)))
         scores = np.round(vecs @ qm.T, ROUND_DECIMALS)  # (n, q)
         o_q, o_n, o_s = [], [], []
         for qi, qid in enumerate(qids):
@@ -190,7 +209,7 @@ def knn_ivf(
     def partial(batch: pa.Table) -> pa.Table:
         qids, qm, centroids, probes = ray.get(refs)
         ids = np.asarray(batch.column(id_col).to_pylist(), dtype=np.int64)
-        vecs = _unit_rows(np.asarray(batch.column(vec_col).to_pylist()))
+        vecs = _unit_rows(vec_matrix(batch.column(vec_col)))
         assign = np.argmax(vecs @ centroids.T, axis=1)
         keep = np.array([int(a) in probes for a in assign])
         empty = pa.table(
@@ -271,7 +290,7 @@ def knn_lsh(
     def partial(batch: pa.Table) -> pa.Table:
         qids, qm, probes = ray.get(refs)
         ids = np.asarray(batch.column(id_col).to_pylist(), dtype=np.int64)
-        vecs = _unit_rows(np.asarray(batch.column(vec_col).to_pylist()))
+        vecs = _unit_rows(vec_matrix(batch.column(vec_col)))
         sigs = sig_of(vecs)
         keep = np.array([int(s) in probes for s in sigs])
         if not keep.any():
