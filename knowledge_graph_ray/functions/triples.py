@@ -305,6 +305,10 @@ def chain_subjects(
     driver, and a third (or tenth) hop is just another loop turn."""
     from knowledge_graph_ray.pipelines.relational import hash_bucket_agg, semi_join
 
+    # the triple table is consumed once per pattern and once per hop —
+    # pin it or every consumer re-executes the whole emission pipeline
+    # (object-store-backed, spillable; a no-op if already materialized)
+    triples = triples.materialize()
     cur = (
         subjects_matching(triples, start, num_partitions=num_partitions)
         if start
@@ -326,7 +330,12 @@ def chain_subjects(
             num_buckets=num_partitions,
         )
         pats = hop.get("patterns") or []
-        if pats:
+        if len(pats) == 1:
+            # single pattern needs no conjunction shuffle: the pattern
+            # matches feed the (dedup-internal) semi-join key side raw
+            ok = filter_pred_obj(triples, **pats[0]).select_columns(["subj"])
+            cur = semi_join(cur, ok, on="subj", num_partitions=num_partitions)
+        elif pats:
             ok = subjects_matching(triples, pats, num_partitions=num_partitions)
             cur = semi_join(cur, ok, on="subj", num_partitions=num_partitions)
     if cur is None:
