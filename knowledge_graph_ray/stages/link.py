@@ -50,7 +50,9 @@ class LshIndex:
         return (bits * (1 << np.arange(self.nbits, dtype=np.int64))).sum(axis=1)
 
     def candidates(self, vec: np.ndarray) -> list[int]:
-        sig = int(self._sign(vec[None, :])[0])
+        return self.candidates_for_sig(int(self._sign(vec[None, :])[0]))
+
+    def candidates_for_sig(self, sig: int) -> list[int]:
         cands = list(self.buckets.get(sig, []))
         for b in range(self.nbits):  # Hamming-1 probes
             cands.extend(self.buckets.get(sig ^ (1 << b), []))
@@ -126,8 +128,9 @@ class EntityLinker:
         if pending_surf:
             vecs = self.embedder.encode(pending_norm)  # (m, dim), one pass
             if self.index is not None:
-                for s, norm, vec in zip(pending_surf, pending_norm, vecs):
-                    cand = self.index.candidates(vec)
+                sigs = self.index._sign(vecs)  # ONE signing matmul per batch
+                for s, norm, vec, sig in zip(pending_surf, pending_norm, vecs, sigs):
+                    cand = self.index.candidates_for_sig(int(sig))
                     if cand:
                         scores = self.matrix[cand] @ vec
                         best = int(np.argmax(scores))
