@@ -461,7 +461,10 @@ def incremental_minhash_drops(
     pairs = minhash_pairs_from_bands(
         seen_bands.union(new_bands), threshold=threshold, group_cap=group_cap
     ).materialize()  # consumed by several classification joins below
-    new_ids = new_docs.select_columns([id_col])
+    # materialized ONCE: each semi_join below independently consumes its
+    # keys side, and an un-pinned new_ids would re-execute new_docs'
+    # whole upstream per join (the consumed-twice re-execution trap)
+    new_ids = new_docs.select_columns([id_col]).materialize()
     a_new = semi_join(pairs, new_ids, on="a", right_on=id_col).materialize()
     both_new = semi_join(a_new, new_ids, on="b", right_on=id_col)
     a_new_b_seen = semi_join(a_new, new_ids, on="b", right_on=id_col, anti=True)

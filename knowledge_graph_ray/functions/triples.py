@@ -343,6 +343,43 @@ def chain_subjects(
     return cur
 
 
+def optional_hop(
+    triples: Dataset,
+    bindings: Dataset,
+    pred: str,
+    *,
+    out_col: str = "opt_obj",
+    num_partitions: int | None = None,
+) -> Dataset:
+    """OPTIONAL pattern (SPARQL left-join semantics; the one standard
+    rdf_graph.ipynb-family shape ``chain_subjects`` doesn't cover):
+    every row of ``bindings`` (one column ``subj``) survives — rows
+    gain one output row per (subj, pred, ?x) edge, with ``out_col``
+    null when the subject has no such edge.
+
+    Execution: the pred-filtered edge table and the binding set meet
+    in one distributed hash join (left-outer); neither side crosses
+    the driver. Partition count derives from known input bytes
+    (relational.auto_partitions) unless given."""
+    from knowledge_graph_ray.pipelines.relational import hash_join
+
+    edges = triples.filter(expr=f"pred == '{pred}'")
+
+    def slim(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"subj": batch.column("subj"), out_col: batch.column("obj")}
+        )
+
+    edges = edges.map_batches(slim, batch_format="pyarrow")
+    return hash_join(
+        bindings,
+        edges,
+        on="subj",
+        how="left_outer",
+        num_partitions=num_partitions,
+    )
+
+
 # --------------------------------------------------------------- S11
 
 def write_turtle(triples: Dataset, out_dir: str, base: str = "http://kg.local/") -> int:

@@ -92,15 +92,51 @@ def mention_stage(paras: Dataset, refs, *, concurrency=(1, 4), batch_size=256) -
     )
 
 
+def _nonself_rows(cmap_ds: Dataset) -> Dataset:
+    """(norm, canonical) → only the rows that actually rewrite
+    (norm != canonical). Self-canonical singletons dominate open-web
+    surface vocabularies, so this filter is what keeps the collected
+    map bounded even when the distinct-surface set is not."""
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.invert(pc.equal(batch.column("norm"), batch.column("canonical")))
+        )
+
+    return cmap_ds.map_batches(kernel, batch_format="pyarrow")
+
+
 def canonical_map_from_mentions(
-    mentions: Dataset, *, n_salts: int = 8, threshold: int = 85
+    mentions: Dataset,
+    *,
+    n_salts: int = 8,
+    threshold: int = 85,
+    min_count: int = 1,
+    max_broadcast: int = 1_000_000,
 ) -> dict[str, str]:
-    """Salted two-round surface stats → blocked fuzzy clustering →
-    driver-side dict (distinct unknown surfaces only — small side)."""
+    """Salted two-round surface stats → blocked fuzzy clustering
+    (fully distributed) → driver-side dict of only the rows that
+    REWRITE (norm != canonical — the self-canonical long tail never
+    crosses the driver). Size-guarded: above ``max_broadcast``
+    rewriting rows the dict contract itself is wrong — raise and point
+    at the Dataset-native path (canon.canonical_surface_map + a join
+    apply, as canonicalize_nil_surfaces does). ``min_count`` caps the
+    unbounded one-off-surface tail before clustering (D4 note in
+    canon.canonical_surface_map)."""
     unknown = mentions.filter(expr="label == 'MISC'")
     stats = surface_stats(unknown, n_salts=n_salts)
-    rows = canonical_surface_map(stats, threshold=threshold).take_all()
-    return {r["norm"]: r["canonical"] for r in rows if r["norm"] != r["canonical"]}
+    cmap = canonical_surface_map(stats, threshold=threshold, min_count=min_count)
+    nonself = _nonself_rows(cmap).materialize()
+    n = nonself.count()
+    if n > max_broadcast:
+        raise ValueError(
+            f"canonical map has {n} rewriting surfaces (> max_broadcast="
+            f"{max_broadcast}); a broadcast dict is the wrong shape — use "
+            "canon.canonical_surface_map and apply it with a join "
+            "(see canonicalize_nil_surfaces' join path), or raise min_count"
+        )
+    rows = nonself.take_all()
+    return {r["norm"]: r["canonical"] for r in rows}
 
 
 def triple_stage(
@@ -180,6 +216,7 @@ def build_kg(
     n_salts: int = 8,
     checkpoint_dir: str | None = None,
     sort_output: bool = True,
+    nil_max_broadcast: int = 100_000,
 ) -> Dataset:
     """pages Dataset → lazy deduplicated triples Dataset
     (subj, pred, obj, support, src_doc, obj_is_literal), sorted by subj."""
@@ -214,19 +251,31 @@ def build_kg(
         # the corpus; plasma-backed, spillable) — the NIL-surface scan
         # is a second consumer and must not re-execute the corpus path
         triples = triples.materialize()
-        triples = canonicalize_nil_surfaces(triples, threshold=85)
+        triples = canonicalize_nil_surfaces(
+            triples, threshold=85, max_broadcast=nil_max_broadcast
+        )
     if sort_output:
         triples = triples.sort("subj")
     return triples
 
 
-def canonicalize_nil_surfaces(triples: Dataset, threshold: int = 85) -> Dataset:
-    """Post-dedup NIL canonicalization: the distinct ``surface:`` ids
-    surviving in the deduplicated edge table are a SMALL set (they are
-    exactly the broadcast map's keys), so clustering happens after the
-    heavy shuffles, off the corpus-sized path. Surfaces that cluster
-    together are rewritten to the cluster head and the affected rows
-    re-merged. No-op (zero extra stages) when nothing clusters.
+def canonicalize_nil_surfaces(
+    triples: Dataset, threshold: int = 85, max_broadcast: int = 100_000
+) -> Dataset:
+    """Post-dedup NIL canonicalization, size-guarded end to end.
+
+    In the gazetteer-fed flagship the distinct ``surface:`` ids
+    surviving dedup are exactly the broadcast map's keys — tiny — and
+    the fast driver-side path runs (zero extra stages when nothing
+    clusters). In the no-gazetteer ``_CAP_SPAN`` mode (openie.py:83,
+    the open-web fallback) NIL surfaces are corpus-proportional, so
+    above ``max_broadcast`` distinct surfaces clustering runs
+    DISTRIBUTED (the same per-block kernel, bucketed on block_key via
+    canon.canonical_surface_map — outputs are identical because
+    clustering is block-local and deterministic either way), and the
+    resulting map is applied via broadcast dict while it fits, else
+    via a hash join. Nothing corpus-proportional ever crosses the
+    driver on any path.
 
     (Mention-corpus-scale canonicalization — salted surface stats over
     every mention — remains available via canon.surface_stats /
@@ -234,7 +283,12 @@ def canonicalize_nil_surfaces(triples: Dataset, threshold: int = 85) -> Dataset:
     """
     import pandas as pd
 
-    from knowledge_graph_ray.functions.canon import cluster_block, block_key
+    from knowledge_graph_ray.functions.canon import (
+        block_key,
+        canonical_surface_map,
+        cluster_block,
+    )
+    from knowledge_graph_ray.pipelines.relational import hash_bucket_agg
 
     def nil_surfaces(batch: pa.Table) -> pa.Table:
         out: set[str] = set()
@@ -246,28 +300,67 @@ def canonicalize_nil_surfaces(triples: Dataset, threshold: int = 85) -> Dataset:
             out.update(pc.utf8_slice_codeunits(hits, 8).to_pylist())
         return pa.table({"norm": pa.array(sorted(out), pa.string())})
 
-    distinct = {
-        r["norm"]
-        for r in triples.map_batches(nil_surfaces, batch_format="pyarrow").take_all()
-    }
-    if not distinct:
+    # distinct NIL surfaces as a DATASET: per-block distinct above,
+    # then one int hash-bucket shuffle — never a driver-side set()
+    nil = triples.map_batches(nil_surfaces, batch_format="pyarrow")
+    distinct = hash_bucket_agg(
+        nil, ["norm"], lambda df: df.drop_duplicates(), num_buckets=16
+    ).materialize()
+    n = distinct.count()
+    if n == 0:
         return triples
-    df = pd.DataFrame({"norm": sorted(distinct)})
-    df["block_key"] = df["norm"].map(block_key)
-    outs = [cluster_block(g, threshold) for _, g in df.groupby("block_key", sort=False)]
-    cmap = {
-        r.norm: r.canonical
-        for out in outs
-        for r in out.itertuples()
-        if r.norm != r.canonical
-    }
-    if not cmap:
+    if n <= max_broadcast:
+        # driver-side clustering (the flagship's bounded-vocabulary case)
+        df = pd.DataFrame({"norm": sorted(r["norm"] for r in distinct.take_all())})
+        df["block_key"] = df["norm"].map(block_key)
+        outs = [
+            cluster_block(g, threshold) for _, g in df.groupby("block_key", sort=False)
+        ]
+        cmap = {
+            r.norm: r.canonical
+            for out in outs
+            for r in out.itertuples()
+            if r.norm != r.canonical
+        }
+        if not cmap:
+            return triples
+        return _remap_merge_broadcast(triples, cmap)
+    # distributed clustering: blocks land whole in buckets, same kernel
+    nonself = _nonself_rows(
+        canonical_surface_map(distinct, threshold=threshold)
+    ).materialize()
+    m = nonself.count()
+    if m == 0:
         return triples
+    if m <= max_broadcast:
+        cmap = {r["norm"]: r["canonical"] for r in nonself.take_all()}
+        return _remap_merge_broadcast(triples, cmap)
+    return _remap_merge_join(triples, nonself)
+
+
+def _merge_collapsed(remapped: Dataset, num_buckets: int = 16) -> Dataset:
+    """Re-merge triple rows whose keys collapsed together after a
+    surface rewrite (support sums, provenance keeps the min doc)."""
+    import pandas as pd
+
+    from knowledge_graph_ray.pipelines.relational import hash_bucket_agg
+
+    def merge(df2: pd.DataFrame) -> pd.DataFrame:
+        return df2.groupby(
+            ["subj", "pred", "obj", "obj_is_literal"], as_index=False, sort=False
+        ).agg(support=("support", "sum"), src_doc=("src_doc", "min"))
+
+    return hash_bucket_agg(
+        remapped, ["subj", "pred", "obj"], merge, num_buckets=num_buckets
+    )
+
+
+def _remap_merge_broadcast(triples: Dataset, cmap: dict[str, str]) -> Dataset:
+    """Apply a canonical map that fits in the object store: broadcast
+    once, vectorized pandas .map over the surface: tails per batch."""
     ref = ray.put(cmap)
 
     def remap(batch: pa.Table) -> pa.Table:
-        # vectorized rewrite: pandas .map over the broadcast dict on the
-        # surface: tail only (no per-row Python closure on the triple table)
         m = ray.get(ref)
         cols = {}
         for name in batch.column_names:
@@ -283,19 +376,57 @@ def canonicalize_nil_surfaces(triples: Dataset, threshold: int = 85) -> Dataset:
                 cols[name] = col
         return pa.table(cols)
 
-    remapped = triples.map_batches(remap, batch_format="pyarrow")
+    return _merge_collapsed(triples.map_batches(remap, batch_format="pyarrow"))
 
-    # re-merge rows whose keys collapsed together
-    def merge(df2: pd.DataFrame) -> pd.DataFrame:
-        return df2.groupby(
-            ["subj", "pred", "obj", "obj_is_literal"], as_index=False, sort=False
-        ).agg(support=("support", "sum"), src_doc=("src_doc", "min"))
 
-    from knowledge_graph_ray.pipelines.relational import hash_bucket_agg
+def _remap_merge_join(triples: Dataset, cmap_ds: Dataset) -> Dataset:
+    """Apply a canonical map too large to broadcast: per remapped
+    column, split off the surface-prefixed rows, LEFT-join them
+    against the (norm, canonical) Dataset on the tail, rewrite, and
+    union the untouched rows back. Two passes (subj, obj), each one
+    distributed hash join — the map never crosses the driver."""
+    from knowledge_graph_ray.pipelines.relational import hash_join
 
-    return hash_bucket_agg(
-        remapped, ["subj", "pred", "obj"], merge, num_buckets=16
-    )
+    out = triples.materialize()  # each pass consumes it twice (split)
+    order = list(out.schema().names)
+    for col in ("subj", "obj"):
+
+        def split(keep: bool, col=col):
+            def kernel(batch: pa.Table) -> pa.Table:
+                mask = pc.starts_with(batch.column(col), "surface:")
+                return batch.filter(mask if keep else pc.invert(mask))
+
+            return kernel
+
+        def add_tail(batch: pa.Table, col=col) -> pa.Table:
+            return batch.append_column(
+                "__tail", pc.utf8_slice_codeunits(batch.column(col), 8)
+            )
+
+        surf = out.map_batches(split(True), batch_format="pyarrow").map_batches(
+            add_tail, batch_format="pyarrow"
+        )
+        rest = out.map_batches(split(False), batch_format="pyarrow")
+        joined = hash_join(
+            surf, cmap_ds, on="__tail", right_on="norm", how="left_outer"
+        )
+
+        def rebuild(batch: pa.Table, col=col) -> pa.Table:
+            tail = batch.column("__tail")
+            canon = batch.column("canonical")
+            new = pc.binary_join_element_wise(
+                "surface:", pc.coalesce(canon, tail), ""
+            )
+            batch = batch.set_column(
+                batch.schema.get_field_index(col), col, new
+            )
+            drop = [c for c in ("__tail", "norm", "canonical") if c in batch.column_names]
+            return batch.drop_columns(drop).select(order)
+
+        out = rest.select_columns(order).union(
+            joined.map_batches(rebuild, batch_format="pyarrow")
+        ).materialize()
+    return _merge_collapsed(out)
 
 
 def run_kg_resumable(

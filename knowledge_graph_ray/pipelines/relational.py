@@ -135,6 +135,43 @@ def hash_bucket_agg(
     )
 
 
+def _known_size_bytes(ds: Dataset) -> int | None:
+    """Metadata-only size estimate (parquet reads and materialized
+    datasets know their bytes; transformed plans return None). NEVER
+    triggers execution — ``Dataset.size_bytes()`` would run the whole
+    upstream plan for unknown sizes, which a partition-count heuristic
+    must not do."""
+    try:
+        return ds._logical_plan.dag.infer_metadata().size_bytes
+    except Exception:
+        return None
+
+
+def auto_partitions(
+    *sides: Dataset,
+    default: int = 16,
+    target_bytes: int = 192 << 20,
+    cap: int = 1024,
+) -> int:
+    """Hash-shuffle partition count from the sides' known sizes:
+    ~192 MB of input per partition, clamped to [default, cap]. A fixed
+    count serializes the shuffle at 100× the data; sizing from bytes
+    keeps per-partition build tables bounded. Sides whose size is not
+    known from metadata contribute nothing (falling back to ``default``
+    when nothing is known — at real scale join inputs are parquet
+    reads or materialized checkpoints, whose size IS known)."""
+    total = 0
+    known = False
+    for s in sides:
+        b = _known_size_bytes(s)
+        if b:
+            total += b
+            known = True
+    if not known:
+        return default
+    return int(max(default, min(cap, -(-total // target_bytes))))
+
+
 def pin_schema(ds: Dataset, schema: pa.Schema) -> Dataset:
     """Force every output block to one exact Arrow schema.
 
@@ -167,7 +204,7 @@ def semi_join(
     right_on: str | None = None,
     anti: bool = False,
     max_broadcast: int = 100_000,
-    num_partitions: int = 16,
+    num_partitions: int | None = None,
 ) -> Dataset:
     """Semi/anti-join where the key side is itself a Dataset, with a
     size guard: a small key side (dim-table filters) is collected once
@@ -486,10 +523,11 @@ def hash_join(
     on: str | tuple,
     right_on: str | tuple | None = None,
     how: str = "inner",
-    num_partitions: int = 16,
+    num_partitions: int | None = None,
 ) -> Dataset:
-    """Large-large join: Ray Data native hash join (explicit partition
-    count — this is an all-to-all shuffle of BOTH sides; prefer
+    """Large-large join: Ray Data native hash join (partition count
+    derived from known input bytes via ``auto_partitions`` unless
+    given — this is an all-to-all shuffle of BOTH sides; prefer
     broadcast_join whenever one side fits in the object store).
 
     Both sides are coalesced through a no-shuffle ``repartition`` to
@@ -507,6 +545,8 @@ def hash_join(
     r_t = None if right_on is None else (
         (right_on,) if isinstance(right_on, str) else tuple(right_on)
     )
+    if num_partitions is None:
+        num_partitions = auto_partitions(left, right)
     # split repartition itself emits zero-row blocks when a side holds
     # fewer rows than the target count — clamp per side. The row probe
     # is limit(k).count(): it EARLY-STOPS after k rows, so a big side

@@ -92,6 +92,48 @@ class EmbedActor:
         return batch.append_column("embedding", col)
 
 
+def embed_stage(
+    ds,
+    *,
+    model_loader=None,
+    dim: int = DEFAULT_DIM,
+    text_col: str = "text",
+    concurrency=(1, 4),
+    batch_size: int = 256,
+    num_gpus: float | None = None,
+    num_cpus: float | None = None,
+    **actor_kwargs,
+):
+    """Deploy wrapper for the embedding actor pool — the ONE code path
+    both CPU and GPU users take, so the resource-arg plumbing is a
+    tested library surface rather than a docstring. ``num_gpus=1``
+    pins each actor to a device (the reference's bert_embed.py GPU
+    deployment shape); ``model_loader`` switches to ``ModelEmbedActor``
+    (real encoder loaded once per actor), else the deterministic
+    ``EmbedActor`` runs. Resource kwargs pass straight through to
+    ``Dataset.map_batches``."""
+    if model_loader is not None:
+        cls = ModelEmbedActor
+        ctor = dict(model_loader=model_loader, dim=dim, text_col=text_col,
+                    **actor_kwargs)
+    else:
+        cls = EmbedActor
+        ctor = dict(dim=dim, text_col=text_col, **actor_kwargs)
+    ray_kwargs = {}
+    if num_gpus is not None:
+        ray_kwargs["num_gpus"] = num_gpus
+    if num_cpus is not None:
+        ray_kwargs["num_cpus"] = num_cpus
+    return ds.map_batches(
+        cls,
+        fn_constructor_kwargs=ctor,
+        concurrency=concurrency,
+        batch_size=batch_size,
+        batch_format="pyarrow",
+        **ray_kwargs,
+    )
+
+
 class ModelEmbedActor(EmbedActor):
     """Integration point for a REAL encoder (the reference's Danish
     BERT, bert_embed.py:67-91): same row/column contract as

@@ -48,8 +48,15 @@ def vec_matrix(col) -> np.ndarray:
         col = col.combine_chunks()
     t = col.type
     if pa.types.is_fixed_size_list(t):
-        flat = col.values.to_numpy(zero_copy_only=False)
-        return flat.reshape(len(col), t.list_size)
+        # .values ignores a slice offset (returns the FULL child array,
+        # unlike list's offset-carrying .offsets) — a sliced block
+        # would misalign or fail the reshape; slice the child by the
+        # parent's offset explicitly (still zero-copy)
+        ls = t.list_size
+        flat = col.values.slice(col.offset * ls, len(col) * ls).to_numpy(
+            zero_copy_only=False
+        )
+        return flat.reshape(len(col), ls)
     if pa.types.is_list(t) or pa.types.is_large_list(t):
         offs = col.offsets.to_numpy(zero_copy_only=False)
         widths = np.diff(offs)

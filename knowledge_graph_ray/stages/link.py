@@ -80,6 +80,7 @@ class EntityLinker:
         dim: int = 64,
         threshold: float = DEFAULT_THRESHOLD,
         ann: str = "brute",
+        cache_cap: int = 1_000_000,
     ):
         pairs = _maybe_get(alias_pairs) or []
         self.exact: dict[str, int] = {}
@@ -91,6 +92,15 @@ class EntityLinker:
         self.entity_ids = list(_maybe_get(entity_ids) or [])
         vecs = _maybe_get(entity_vecs)
         self.matrix = np.asarray(vecs, dtype=np.float32) if vecs is not None else None
+        # brute scoring runs in float64: BLAS gemm and gemv accumulate
+        # float32 differently (~2e-7), so near-tie argmax/threshold
+        # decisions could flip across builds; float64 keeps the batched
+        # gemm decision-identical to sequential scoring (entity side is
+        # small, so the 2× matrix copy is bounded). LSH keeps the old
+        # per-candidate float32 math.
+        self.matrix64 = (
+            self.matrix.T.astype(np.float64) if self.matrix is not None else None
+        )
         self.canonical_map: dict[str, str] = dict(_maybe_get(canonical_map) or {})
         self.embedder = HashEmbedder(dim)
         self.threshold = threshold
@@ -98,7 +108,14 @@ class EntityLinker:
         self.index = (
             LshIndex(self.matrix) if (ann == "lsh" and self.matrix is not None) else None
         )
-        self._cache: dict[str, str] = {}  # surface -> resolved id (per actor)
+        # surface -> resolved id (per actor). Bounded: open-vocabulary
+        # corpora (the no-gazetteer _CAP_SPAN mode) produce unbounded
+        # distinct surfaces, so an uncapped dict is actor-lifetime
+        # memory growth. Cleared wholesale above ``cache_cap`` at a
+        # batch boundary (the in-batch dedupe in resolve_many captures
+        # most of the win; the cross-batch cache is just a bonus).
+        self._cache: dict[str, str] = {}
+        self._cache_cap = int(cache_cap)
 
     # ---------------------------------------------------------- core
     def resolve(self, surface: str) -> str:
@@ -110,6 +127,8 @@ class EntityLinker:
         (gemm) instead of one gemv per surface — the flagship's actor
         stage is dominated by this path, and web corpora repeat
         surfaces heavily so the dedupe alone removes most work."""
+        if len(self._cache) > self._cache_cap:  # batch-boundary only:
+            self._cache.clear()  # mid-call placeholders are never dropped
         pending_surf: list[str] = []
         pending_norm: list[str] = []
         for s in surfaces:
@@ -142,7 +161,8 @@ class EntityLinker:
                     else:
                         self._cache[s] = self._nil(norm)
             else:
-                scores = vecs @ self.matrix.T  # (m, n_entities): ONE matmul
+                # (m, n_entities): ONE matmul, float64 (see __init__)
+                scores = vecs.astype(np.float64) @ self.matrix64
                 best = np.argmax(scores, axis=1)
                 best_scores = scores[np.arange(len(best)), best]
                 for s, norm, b, sc in zip(pending_surf, pending_norm, best, best_scores):

@@ -79,6 +79,20 @@ class PatternOpenIE:
             verb_in_surface = re.compile(rf"\b(?:{verb_alt})\b")
             if any(verb_in_surface.search(s) for s in gaz + locs):
                 self.verb_pattern = None
+            # a verb phrase that is a proper prefix of another (custom
+            # ``verbs``) lets the FULL regex backtrack longer→shorter
+            # verb at one position when the longer verb's object fails
+            # (e.g. verbs {'works for','works'}, object 'for Yard');
+            # finditer on the verb alternation consumes the longer hit
+            # and never retries the shorter — fall back to the full scan
+            # (DEFAULT_VERBS has no prefix pairs, so the flagship keeps
+            # the fast path)
+            vkeys = sorted(self.verbs)
+            if any(
+                b.startswith(a)
+                for a, b in zip(vkeys, vkeys[1:])
+            ):
+                self.verb_pattern = None
         else:
             pat = rf"\b(?P<s>{_CAP_SPAN})\s+(?P<v>{verb_alt})\s+(?P<o>{_CAP_SPAN})\b"
             self.verb_pattern = None
