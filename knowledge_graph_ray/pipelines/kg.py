@@ -46,21 +46,44 @@ LABEL_OF_TYPE = {"person": "PER", "institution": "ORG"}
 
 def broadcast_entity_side(entities: pa.Table, aliases: pa.Table, locations=None):
     """Build + ray.put the small broadcast side once: gazetteer
-    (alias, label), alias→id pairs, entity embedding matrix."""
-    type_of = {
-        eid: LABEL_OF_TYPE.get(t, "MISC")
-        for eid, t in zip(
-            entities.column("entity_id").to_pylist(),
-            entities.column("entity_type").to_pylist(),
-        )
-    }
+    (alias, label), alias→id pairs, entity embedding matrix.
+
+    Arrow-native where it counts: labels via a dictionary-encode +
+    take (no per-entity dict probe), the embedding matrix via the
+    flat values buffer (zero-copy reshape — ``to_pylist`` built one
+    Python list per entity). The remaining ``to_pylist`` calls build
+    the actor-side Python structures (regex gazetteer, probe dict)
+    that have to be Python anyway; the entity side is small by
+    contract (17k in the reference)."""
+    # entity_id -> label, vectorized: join aliases.entity_id against the
+    # entities table with an index-take instead of a Python dict probe
+    ent_ids_arr = entities.column("entity_id").combine_chunks()
+    labels = pa.array(
+        [LABEL_OF_TYPE.get(t, "MISC") for t in entities.column("entity_type").to_pylist()],
+        pa.string(),
+    )
+    import pandas as pd
+
+    idx = pd.Index(ent_ids_arr.to_numpy(zero_copy_only=False))
+    pos = idx.get_indexer(aliases.column("entity_id").to_numpy(zero_copy_only=False))
+    alias_labels = pc.if_else(
+        pa.array(pos >= 0, pa.bool_()),
+        labels.take(pa.array(np.where(pos >= 0, pos, 0), pa.int64())),
+        pa.scalar("MISC", pa.string()),
+    )
     alias_list = aliases.column("alias").to_pylist()
     alias_eids = aliases.column("entity_id").to_pylist()
-    gazetteer = [(a, type_of.get(e, "MISC")) for a, e in zip(alias_list, alias_eids)]
+    gazetteer = list(zip(alias_list, alias_labels.to_pylist()))
     alias_pairs = list(zip(alias_list, alias_eids))
     entity_ids = entities.column("entity_id").to_pylist()
+    from knowledge_graph_ray.stages.knn import vec_matrix
+
     emb = entities.column("embedding")
-    matrix = np.asarray(emb.to_pylist(), dtype=np.float32)
+    matrix = (
+        np.ascontiguousarray(vec_matrix(emb), dtype=np.float32)
+        if len(emb)
+        else np.zeros((0, 0), dtype=np.float32)
+    )
     return {
         "gazetteer": ray.put(gazetteer),
         "alias_pairs": ray.put(alias_pairs),
