@@ -323,18 +323,19 @@ def canonicalize_nil_surfaces(
             out.update(pc.utf8_slice_codeunits(hits, 8).to_pylist())
         return pa.table({"norm": pa.array(sorted(out), pa.string())})
 
-    # distinct NIL surfaces as a DATASET: per-block distinct above,
-    # then one int hash-bucket shuffle — never a driver-side set()
+    # per-block distinct, then a take-based guard: ``take(cap+1)``
+    # early-stops, so the bounded-vocabulary flagship case costs ONE
+    # cheap scan of the (already materialized) triple table — no
+    # shuffle, no extra barrier. Only when the per-block-distinct row
+    # count exceeds the cap (conservative: cross-block duplicates
+    # count against it) does the distributed distinct+clustering run.
     nil = triples.map_batches(nil_surfaces, batch_format="pyarrow")
-    distinct = hash_bucket_agg(
-        nil, ["norm"], lambda df: df.drop_duplicates(), num_buckets=16
-    ).materialize()
-    n = distinct.count()
-    if n == 0:
+    probe = nil.take(max_broadcast + 1)
+    if not probe:
         return triples
-    if n <= max_broadcast:
+    if len(probe) <= max_broadcast:
         # driver-side clustering (the flagship's bounded-vocabulary case)
-        df = pd.DataFrame({"norm": sorted(r["norm"] for r in distinct.take_all())})
+        df = pd.DataFrame({"norm": sorted({r["norm"] for r in probe})})
         df["block_key"] = df["norm"].map(block_key)
         outs = [
             cluster_block(g, threshold) for _, g in df.groupby("block_key", sort=False)
@@ -348,7 +349,12 @@ def canonicalize_nil_surfaces(
         if not cmap:
             return triples
         return _remap_merge_broadcast(triples, cmap)
-    # distributed clustering: blocks land whole in buckets, same kernel
+    # above the cap: global distinct via one int hash-bucket shuffle
+    # (never a driver-side set()), then distributed clustering —
+    # blocks land whole in buckets, same deterministic kernel
+    distinct = hash_bucket_agg(
+        nil, ["norm"], lambda df: df.drop_duplicates(), num_buckets=16
+    )
     nonself = _nonself_rows(
         canonical_surface_map(distinct, threshold=threshold)
     ).materialize()
