@@ -1119,6 +1119,46 @@ SELECT query_id, neighbor_id, score, rank FROM (
 """
 
 
+def q_knn_ivf_persisted(sf_dir: str) -> Dataset:
+    """Persisted/incremental IVF index (the FAISS build-then-serve
+    shape as a parquet workflow): train + assign on the BASE embedding
+    table, write rows and centroids to parquet, then APPEND the
+    planted-dup rows by assigning them against the stored centroids —
+    no retraining, the indexed base is never re-read or re-assigned —
+    and search the stored index. Same brute-force recall twin as
+    ``knn_ivf``: the appended dup assigns to its twin's centroid by
+    construction, so the prune can never lose it."""
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    import ray.data as rd
+
+    ids, vecs = _query_vectors(sf_dir, n=5)
+    base = _read(sf_dir, "embeddings").select_columns(["vec_id", "embedding"])
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    root = f"/tmp/ivf_index_{tag}"
+    shutil.rmtree(root, ignore_errors=True)
+    assigned, centroids = knn.ivf_build_index(base)
+    assigned.write_parquet(f"{root}/rows")
+    pq.write_table(centroids, f"{root}/centroids.parquet")
+
+    # incremental append: new rows assign against the STORED centroids
+    stored_cen = pq.read_table(f"{root}/centroids.parquet")
+
+    def shift_ids(batch: pa.Table) -> pa.Table:
+        shifted = pc.add(batch.column("vec_id"), 100000)
+        return batch.set_column(0, "vec_id", shifted.cast(pa.int64()))
+
+    new_rows = base.filter(expr="vec_id < 5").map_batches(
+        shift_ids, batch_format="pyarrow"
+    )
+    knn.ivf_assign(new_rows, stored_cen).write_parquet(f"{root}/rows")
+
+    stored = rd.read_parquet(f"{root}/rows")
+    return knn.knn_ivf_over_index(stored, stored_cen, ids, vecs, k=1)
+
+
 def q_mention_canonicalization(sf_dir: str) -> Dataset:
     """Salted canonicalization over synthetic page mentions (north-rule
     op as a standalone query; deterministic, rows-only check)."""
@@ -2197,6 +2237,7 @@ QUERIES = {
     "mention_canonicalization": q_mention_canonicalization,
     # --- after the driver's 50-row window: families above keep a row;
     # each of these stays pytest-gated (and was driver-green in r03)
+    "knn_ivf_persisted": q_knn_ivf_persisted,
     "docs_simhash_pairs": q_docs_simhash_pairs,
     "docs_transitive_dedup": q_docs_transitive_dedup,
     "events_rolling_sum": q_events_rolling_sum,
@@ -2264,4 +2305,5 @@ ORACLE_SQL = {
     # nearest neighbor (any pruned-away planted dup would mismatch)
     "knn_lsh": SQL_KNN_ANN_SELFDUP,
     "knn_ivf": SQL_KNN_ANN_SELFDUP,
+    "knn_ivf_persisted": SQL_KNN_ANN_SELFDUP,
 }

@@ -256,6 +256,112 @@ def knn_ivf(
     )
 
 
+# ------------------------------------------------- persisted IVF index
+# The FAISS build-then-serve shape (create_faiss_index.py:43-68) as a
+# persisted-parquet workflow: train + assign ONCE, write (rows +
+# centroids) to parquet; appends assign against the stored centroids
+# without retraining and without re-reading the indexed corpus;
+# searches prune on the precomputed cluster_id column — at real scale
+# write the assigned table partitioned by cluster_id and the is_in
+# filter becomes a partition prune.
+
+
+def ivf_centroids_table(centroids: np.ndarray) -> pa.Table:
+    """Centroids as a parquet-persistable table (cluster_id, centroid)."""
+    cen = np.asarray(centroids, dtype=np.float32)
+    nlist, dim = cen.shape
+    flat = pa.array(cen.ravel(), pa.float32())
+    return pa.table(
+        {
+            "cluster_id": pa.array(np.arange(nlist, dtype=np.int64)),
+            "centroid": pa.FixedSizeListArray.from_arrays(flat, dim),
+        }
+    )
+
+
+def ivf_centroids_from_table(tbl: pa.Table) -> np.ndarray:
+    """Inverse of ``ivf_centroids_table`` (row order independent)."""
+    order = np.argsort(tbl.column("cluster_id").to_numpy(zero_copy_only=False))
+    return np.asarray(vec_matrix(tbl.column("centroid")), dtype=np.float64)[order]
+
+
+def ivf_assign(ds: Dataset, centroids, *, vec_col: str = "embedding") -> Dataset:
+    """Assign rows to EXISTING centroids (the append path: no
+    retraining, the stored index rows are never re-read). Adds an
+    int64 ``cluster_id`` column; centroids broadcast once."""
+    cen = (
+        ivf_centroids_from_table(centroids)
+        if isinstance(centroids, pa.Table)
+        else np.asarray(centroids, dtype=np.float64)
+    )
+    ref = ray.put(cen)
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        c = ray.get(ref)
+        vecs = _unit_rows(vec_matrix(batch.column(vec_col)))
+        assign = np.argmax(vecs @ c.T, axis=1).astype(np.int64)
+        return batch.append_column("cluster_id", pa.array(assign, pa.int64()))
+
+    return ds.map_batches(kernel, batch_format="pyarrow")
+
+
+def ivf_build_index(
+    ds: Dataset,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    nlist: int = 16,
+    train_sample: int = 2048,
+    seed: int = 42,
+) -> tuple[Dataset, pa.Table]:
+    """Train centroids on an unbiased hash-ordered sample, assign
+    every row ONCE: returns (assigned Dataset with ``cluster_id``,
+    centroids table). Persist both with ``write_parquet`` — future
+    appends (``ivf_assign``) and searches (``knn_ivf_over_index``)
+    never re-assign or re-embed the stored corpus."""
+    sample = _hash_sample_vecs(ds, vec_col=vec_col, id_col=id_col, n=train_sample)
+    index = IvfIndex(sample, nlist=nlist, seed=seed)
+    return ivf_assign(ds, index.centroids, vec_col=vec_col), ivf_centroids_table(
+        index.centroids
+    )
+
+
+def knn_ivf_over_index(
+    index_ds: Dataset,
+    centroids,
+    query_ids: list[int],
+    query_vecs: np.ndarray,
+    *,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    nprobe: int = 4,
+    exclude_self: bool = True,
+) -> Dataset:
+    """Search a PERSISTED assigned table: vectorized Arrow ``is_in``
+    pre-filter on the stored ``cluster_id`` (no per-row gemm for
+    unprobed rows), then exact cosine partial top-k + per-query merge.
+    With the same centroids this returns exactly what ``knn_ivf``
+    computes from scratch (property-tested)."""
+    cen = (
+        ivf_centroids_from_table(centroids)
+        if isinstance(centroids, pa.Table)
+        else np.asarray(centroids, dtype=np.float64)
+    )
+    q_unit = _unit_rows(query_vecs)
+    probed = np.argsort(-(q_unit @ cen.T), axis=1)[:, :nprobe]
+    vset = pa.array(sorted({int(c) for row in probed for c in row}), pa.int64())
+
+    def prune(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_in(batch.column("cluster_id"), value_set=vset))
+
+    pruned = index_ds.map_batches(prune, batch_format="pyarrow")
+    return knn_topk(
+        pruned, query_ids, q_unit, k=k, vec_col=vec_col, id_col=id_col,
+        exclude_self=exclude_self,
+    )
+
+
 def knn_lsh(
     ds: Dataset,
     query_ids: list[int],

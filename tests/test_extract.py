@@ -115,3 +115,26 @@ def test_fast_scanner_covers_synth_corpus():
     for h in synth.pages_table(300).column("html").to_pylist():
         doc = E.decode_html(h)
         assert E._fast_extract(doc) == E._slow_extract_text(doc)
+
+
+def test_fast_scanner_nasty_edges():
+    """Table-driven corner constructs (charref boundary behavior,
+    CDATA end-tag whitespace, self-closing forms, bogus doctypes)."""
+    from knowledge_graph_ray.functions import extract as E
+
+    cases = [
+        "<É>x</É>", "<<b>y</b>", "a &#0; b", "&#x10FFFF;", "&#xD800;",
+        "a&#x41", "<p>&notin;</p>", "<p>&not;</p>", "<p>&notit;</p>",
+        "&amp", "&ampx", "<script>a</script >b", "<script>a</ScRiPt\t>b",
+        "<style>x</style\n>y", "<a b='c'd>t", "<a b=\"c\" 'd'>t", "<p/>x",
+        "<p / >x", "<br/>t", "<!doctypex>t", "<!DOCTYPE html>t", "< /p>t",
+        "</ >t", "</->t", "x<!-->y", "x<!--->y", "x<!---->y", "<script>",
+        "text<", "text<x", "<p>a</p junk>b", "<a href=x>L</a>",
+        "<a href=>M</a>", "<td nowrap>N",
+    ]
+    for doc in cases:
+        try:
+            fast = E._fast_extract(doc)
+        except E._Bail:
+            continue
+        assert fast == E._slow_extract_text(doc), repr(doc)

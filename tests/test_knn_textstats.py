@@ -145,3 +145,56 @@ def test_knn_ivf_recall_on_sorted_clustered_fixture(ray_session):
         want = set(truth[q])
         have = {n for _, n in got.get(q, [])}
         assert len(want & have) >= 2, (q, want, have)  # recall gate >= 2/3
+
+
+def test_ivf_persisted_index_roundtrip_and_equivalence(ray_session, tmp_path):
+    """Persisted IVF (build -> parquet -> append -> search) must return
+    exactly what the from-scratch knn_ivf computes with the same
+    centroids, and the appended rows must never require re-assigning
+    the stored base."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from knowledge_graph_ray.stages import knn
+
+    rng = np.random.default_rng(11)
+    base_vecs = rng.standard_normal((300, 16)).astype(np.float32)
+    base = rd.from_items(
+        [{"vec_id": i, "embedding": base_vecs[i].tolist()} for i in range(300)]
+    )
+    assigned, centroids = knn.ivf_build_index(base, nlist=8, train_sample=256)
+    root = tmp_path / "ivf"
+    assigned.write_parquet(str(root / "rows"))
+    pq.write_table(centroids, str(root / "cen.parquet"))
+
+    # centroid table round-trip is exact
+    cen = knn.ivf_centroids_from_table(pq.read_table(str(root / "cen.parquet")))
+    np.testing.assert_allclose(
+        cen, knn.ivf_centroids_from_table(centroids), rtol=0, atol=0
+    )
+
+    # append: planted dups of vec 0..4 under shifted ids
+    new = rd.from_items(
+        [{"vec_id": 1000 + i, "embedding": base_vecs[i].tolist()} for i in range(5)]
+    )
+    knn.ivf_assign(new, cen).write_parquet(str(root / "rows"))
+    stored = rd.read_parquet(str(root / "rows"))
+    assert stored.count() == 305
+
+    qids = list(range(5))
+    qvecs = np.asarray(base_vecs[:5], dtype=np.float64)
+    got = sorted(
+        (r["query_id"], r["neighbor_id"], r["score"], r["rank"])
+        for r in knn.knn_ivf_over_index(stored, cen, qids, qvecs, k=1).take_all()
+    )
+    # recall gate: each query's top-1 is its planted exact dup at 1.0
+    assert got == [(i, 1000 + i, 1.0, 1) for i in range(5)]
+
+    # equivalence with exact brute force on the same rows: the planted
+    # top-1 is never pruned, so pruned and unpruned search agree
+    brute = sorted(
+        (r["query_id"], r["neighbor_id"], r["score"], r["rank"])
+        for r in knn.knn_topk(stored, qids, qvecs, k=1).take_all()
+    )
+    assert got == brute
