@@ -1789,6 +1789,31 @@ def q_pdf_corpus_extract(sf_dir: str) -> Dataset:
     return pdfs.map_batches(extract_batch, batch_format="pyarrow")
 
 
+def q_warc_corpus_extract(sf_dir: str) -> Dataset:
+    """S2-at-scale ingest shape: pages stored as Common-Crawl-style
+    WARC shards (gzip member per record) → read_warc (one task per
+    shard, bounded output chunks) → frozen extract stage. Rows-only:
+    binary framing + byte decode, not SQL. The shards are synthesized
+    deterministically ONCE per scale from the same corpus the flagship
+    golden pins (sources/warc.py round-trip laws in tests/test_warc)."""
+    import os
+
+    from knowledge_graph_ray.functions.extract import extract_batch
+    from knowledge_graph_ray.sources import synth
+    from knowledge_graph_ray.sources.warc import read_warc, write_warc
+
+    n = min(pages_count_for(sf_dir), 500)
+    shard_dir = f"/tmp/warc_corpus_{n}"
+    marker = os.path.join(shard_dir, "_DONE")
+    if not os.path.exists(marker):
+        import shutil
+
+        shutil.rmtree(shard_dir, ignore_errors=True)
+        write_warc(synth.pages_dataset(n, override_num_blocks=4), shard_dir)
+        open(marker, "w").write("ok")
+    return read_warc(shard_dir).map_batches(extract_batch, batch_format="pyarrow")
+
+
 def q_semantic_paragraphs(sf_dir: str) -> Dataset:
     """M5 embedding-minima segmentation (actor pool)."""
     from knowledge_graph_ray.stages.segment_semantic import SemanticSegmentActor
@@ -2249,6 +2274,7 @@ QUERIES = {
     "media_frames": q_media_frames,
     "semantic_paragraphs": q_semantic_paragraphs,
     "pdf_corpus_extract": q_pdf_corpus_extract,
+    "warc_corpus_extract": q_warc_corpus_extract,
 }
 
 ORACLE_SQL = {

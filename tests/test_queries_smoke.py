@@ -23,12 +23,14 @@ ROWS_ONLY = [
     "docs_wordpiece",
     "media_audio_features",
     "media_frames",
+    "warc_corpus_extract",
 ]
 
 MUST_HAVE_ROWS = {"kg_flagship", "mention_canonicalization",
                   "search_ranked_contexts", "alias_map_assembly",
                   "corpus_paragraphs", "udf_rephrase", "media_features",
-                  "semantic_paragraphs", "pdf_corpus_extract"}
+                  "semantic_paragraphs", "pdf_corpus_extract",
+                  "warc_corpus_extract"}
 
 
 @pytest.mark.parametrize("name", ROWS_ONLY)
