@@ -1789,6 +1789,84 @@ def q_pdf_corpus_extract(sf_dir: str) -> Dataset:
     return pdfs.map_batches(extract_batch, batch_format="pyarrow")
 
 
+def q_docs_url_hosts(sf_dir: str) -> Dataset:
+    """URL canonicalization + host-level aggregation (the webtext
+    crawl-stats shape). URLs are synthesized deterministically from
+    doc_id with the SAME expression in both engines (the
+    docs_pii_scrub id-derived-augmentation technique), then folded by
+    functions/urltools (RE2 kernels, literal-shared patterns with the
+    DuckDB twin). Per-block combiner emits distinct
+    (host, canonical_url) partial counts — document rows never cross
+    the wire — then ONE host-keyed hash-bucket shuffle finishes
+    count(*) + count(distinct) exactly (each host lives whole in one
+    bucket)."""
+    from knowledge_graph_ray.functions import urltools
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy()
+        url = (
+            "HTTP://WWW.ExAmple"
+            + pd.Series(ids % 7).astype(str)
+            + ".COM"
+            + pd.Series(np.where(ids % 2 == 0, ":80", ":8080"))
+            + "/P"
+            + pd.Series(ids % 50).astype(str)
+            + pd.Series(np.where(ids % 3 == 0, "/", ""))
+            + "?utm_source=t"
+            + pd.Series(ids % 5).astype(str)
+            + "#s"
+            + pd.Series(ids % 4).astype(str)
+        )
+        host, canon = urltools.canonical_url(pa.array(url, pa.string()))
+        out = pd.DataFrame(
+            {"host": host.to_pandas(), "canonical_url": canon.to_pandas()}
+        )
+        return out.groupby(["host", "canonical_url"], as_index=False, sort=False).agg(
+            n=("host", "size")
+        )
+
+    partials = ds.map_batches(combine, batch_format="pandas", batch_size=None)
+
+    def per_host(df: pd.DataFrame) -> pd.DataFrame:
+        pairs = df.groupby(["host", "canonical_url"], as_index=False, sort=False).agg(
+            n=("n", "sum")
+        )
+        return pairs.groupby("host", as_index=False, sort=False).agg(
+            n_docs=("n", "sum"), n_urls=("canonical_url", "nunique")
+        )
+
+    return R.hash_bucket_agg(partials, ["host"], per_host, num_buckets=8)
+
+
+def _sql_docs_url_hosts() -> str:
+    from knowledge_graph_ray.functions import urltools as U
+
+    return f"""
+WITH u AS (
+  SELECT 'HTTP://WWW.ExAmple' || CAST(doc_id % 7 AS VARCHAR) || '.COM'
+      || CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE ':8080' END
+      || '/P' || CAST(doc_id % 50 AS VARCHAR)
+      || CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END
+      || '?utm_source=t' || CAST(doc_id % 5 AS VARCHAR)
+      || '#s' || CAST(doc_id % 4 AS VARCHAR) AS url
+  FROM documents),
+c AS (
+  SELECT regexp_replace(regexp_replace(lower(
+           regexp_replace(url, '{U.P_HOST_OF}', '\\1')),
+           '{U.P_WWW}', ''), '{U.P_DEFAULT_PORT}', '') AS host,
+         regexp_replace(regexp_replace(lower(
+           regexp_replace(url, '{U.P_HOST_OF}', '\\1')),
+           '{U.P_WWW}', ''), '{U.P_DEFAULT_PORT}', '')
+      || regexp_replace(regexp_replace(url, '{U.P_PATH_OF}', '\\1'),
+           '{U.P_TRAILING_SLASH}', '') AS canonical_url
+  FROM u)
+SELECT host, COUNT(*) AS n_docs, COUNT(DISTINCT canonical_url) AS n_urls
+FROM c GROUP BY host
+"""
+
+
 def q_warc_corpus_extract(sf_dir: str) -> Dataset:
     """S2-at-scale ingest shape: pages stored as Common-Crawl-style
     WARC shards (gzip member per record) → read_warc (one task per
@@ -2275,6 +2353,7 @@ QUERIES = {
     "semantic_paragraphs": q_semantic_paragraphs,
     "pdf_corpus_extract": q_pdf_corpus_extract,
     "warc_corpus_extract": q_warc_corpus_extract,
+    "docs_url_hosts": q_docs_url_hosts,
 }
 
 ORACLE_SQL = {
@@ -2332,4 +2411,5 @@ ORACLE_SQL = {
     "knn_lsh": SQL_KNN_ANN_SELFDUP,
     "knn_ivf": SQL_KNN_ANN_SELFDUP,
     "knn_ivf_persisted": SQL_KNN_ANN_SELFDUP,
+    "docs_url_hosts": _sql_docs_url_hosts(),
 }

@@ -42,3 +42,27 @@ def test_scrub_batch_shape():
     out = scrub_pii_batch(t)
     assert out.column_names == ["doc_id", "text", "text_clean", "n_pii"]
     assert out.column("text_clean").to_pylist() == ["x <EMAIL>"]
+
+
+def test_url_canonicalization_rules():
+    import pyarrow as pa
+
+    from knowledge_graph_ray.functions.urltools import canonical_url
+
+    host, canon = canonical_url(
+        pa.array(
+            [
+                "HTTP://WWW.Site.COM:80/A/B/?x=1#f",  # fold host, strip all
+                "https://site.com:443/CaseKept",  # only :80 strips (conservative)
+                "http://site.com",  # no path at all
+                "http://www.site.com:8080///",  # non-default port kept
+            ]
+        )
+    )
+    assert host.to_pylist() == ["site.com", "site.com:443", "site.com", "site.com:8080"]
+    assert canon.to_pylist() == [
+        "site.com/A/B",
+        "site.com:443/CaseKept",
+        "site.com",
+        "site.com:8080",
+    ]
