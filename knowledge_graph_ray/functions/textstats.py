@@ -102,6 +102,31 @@ def quality_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return out
 
 
+def compression_ratio_batch(
+    batch: pa.Table, text_col: str = "text", level: int = 6
+) -> pa.Table:
+    """zlib compression ratio per document (compressed/raw bytes) —
+    the classic webtext quality/repetition signal (C4/Gopher family:
+    boilerplate and template spam compress far below prose; raw
+    binary/noise sits near 1.0). Non-SQL by nature (DuckDB has no
+    deflate), so the coverage gate is the property suite in
+    tests/test_knn_textstats (repetition monotonicity, bounds,
+    determinism). Empty docs get ratio 1.0 (no evidence = neutral,
+    never div-by-zero)."""
+    import zlib
+
+    ratios = []
+    for t in batch.column(text_col).to_pylist():
+        raw = (t or "").encode("utf-8", "replace")
+        if not raw:
+            ratios.append(1.0)
+            continue
+        ratios.append(len(zlib.compress(raw, level)) / len(raw))
+    return batch.append_column(
+        "compression_ratio", pa.array(ratios, pa.float64())
+    )
+
+
 # --------------------------------------------------------- token counts
 
 def count_ws_tokens(text: str) -> int:

@@ -1867,6 +1867,16 @@ FROM c GROUP BY host
 """
 
 
+def q_docs_compression_ratio(sf_dir: str) -> Dataset:
+    """Per-doc zlib compression ratio (webtext quality signal;
+    rows-only — DuckDB has no deflate; property-gated in
+    tests/test_knn_textstats)."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(
+        textstats.compression_ratio_batch, batch_format="pyarrow", batch_size=None
+    ).select_columns(["doc_id", "compression_ratio"])
+
+
 def q_warc_corpus_extract(sf_dir: str) -> Dataset:
     """S2-at-scale ingest shape: pages stored as Common-Crawl-style
     WARC shards (gzip member per record) → read_warc (one task per
@@ -2354,6 +2364,7 @@ QUERIES = {
     "pdf_corpus_extract": q_pdf_corpus_extract,
     "warc_corpus_extract": q_warc_corpus_extract,
     "docs_url_hosts": q_docs_url_hosts,
+    "docs_compression_ratio": q_docs_compression_ratio,
 }
 
 ORACLE_SQL = {

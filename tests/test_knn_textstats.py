@@ -198,3 +198,21 @@ def test_ivf_persisted_index_roundtrip_and_equivalence(ray_session, tmp_path):
         for r in knn.knn_topk(stored, qids, qvecs, k=1).take_all()
     )
     assert got == brute
+
+
+def test_compression_ratio_laws():
+    import pyarrow as pa
+
+    from knowledge_graph_ray.functions.textstats import compression_ratio_batch
+
+    prose = "the quick brown fox jumps over the lazy dog " * 40
+    spam = "buy now " * 225  # same length, heavy repetition
+    noisy = "kq7xz9vw3j" * 180
+    t = pa.table({"doc_id": [0, 1, 2, 3], "text": [prose, spam, noisy, ""]})
+    out = compression_ratio_batch(t)
+    r = out.column("compression_ratio").to_pylist()
+    assert all(0.0 < x <= 1.5 for x in r)
+    assert r[1] < r[0], "repetitive spam must compress below prose"
+    assert r[3] == 1.0, "empty doc is neutral"
+    # deterministic
+    assert compression_ratio_batch(t).column("compression_ratio").to_pylist() == r

@@ -24,13 +24,14 @@ ROWS_ONLY = [
     "media_audio_features",
     "media_frames",
     "warc_corpus_extract",
+    "docs_compression_ratio",
 ]
 
 MUST_HAVE_ROWS = {"kg_flagship", "mention_canonicalization",
                   "search_ranked_contexts", "alias_map_assembly",
                   "corpus_paragraphs", "udf_rephrase", "media_features",
                   "semantic_paragraphs", "pdf_corpus_extract",
-                  "warc_corpus_extract"}
+                  "warc_corpus_extract", "docs_compression_ratio"}
 
 
 @pytest.mark.parametrize("name", ROWS_ONLY)
