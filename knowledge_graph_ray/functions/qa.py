@@ -144,3 +144,81 @@ def write_combined_doc(
                 f.write(header_fmt.format(key=k) + "\n\n")
                 f.write((t or "") + "\n")
     return path
+
+
+def training_pairs(
+    pairs,
+    docs,
+    n_docs: int,
+    *,
+    mult_doc: int = 31,
+    mult_idx: int = 7,
+    offset: int = 1,
+):
+    """S10/K3 training-pair builder (create_positive_negative_pairs.py:
+    8-31 semantics, deterministic): every extracted (question, answer)
+    pair yields a positive row (label 1, paragraph = its answer) and a
+    negative row (label 0, paragraph = the text of a pseudo-randomly
+    but DETERMINISTICALLY chosen other document:
+    doc (doc_id·mult_doc + pair_idx·mult_idx + offset) mod n_docs).
+    The reference's random.sample negatives are irreproducible across
+    runs; the affine-keyed draw keeps the negative distribution
+    corpus-wide while staying oracle-checkable and resume-stable.
+
+    Distributed shape: positives are a pure per-batch projection; the
+    negative lookup is one hash join of the (small) pair table against
+    the corpus on the computed key — the corpus is never collected,
+    and both sides shuffle at auto-derived partition counts."""
+    import pyarrow.compute as pc
+
+    from knowledge_graph_ray.pipelines.relational import hash_join
+
+    def pos(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "pair_idx": batch.column("pair_idx"),
+                "question": batch.column("question"),
+                "paragraph": batch.column("answer"),
+                "label": pa.array([1] * batch.num_rows, pa.int64()),
+            }
+        )
+
+    def with_key(batch: pa.Table) -> pa.Table:
+        key = pc.add(
+            pc.add(
+                pc.multiply(batch.column("doc_id"), mult_doc),
+                pc.multiply(batch.column("pair_idx"), mult_idx),
+            ),
+            offset,
+        )
+        # doc_id/pair_idx are non-negative by contract, so % == mod
+        key = pc.subtract(
+            key, pc.multiply(pc.divide(key, n_docs), n_docs)
+        )
+        return batch.append_column("neg_key", key)
+
+    def neg(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "pair_idx": batch.column("pair_idx"),
+                "question": batch.column("question"),
+                "paragraph": batch.column("text"),
+                "label": pa.array([0] * batch.num_rows, pa.int64()),
+            }
+        )
+
+    def rename_doc(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_id_neg": batch.column("doc_id"), "text": batch.column("text")}
+        )
+
+    keyed = pairs.map_batches(with_key, batch_format="pyarrow")
+    negs = hash_join(
+        keyed,
+        docs.map_batches(rename_doc, batch_format="pyarrow"),
+        on="neg_key",
+        right_on="doc_id_neg",
+    ).map_batches(neg, batch_format="pyarrow")
+    return pairs.map_batches(pos, batch_format="pyarrow").union(negs)

@@ -1555,6 +1555,42 @@ FROM ids
 """
 
 
+def q_docs_training_pairs(sf_dir: str) -> Dataset:
+    """S10/K3 training-pair builder (create_positive_negative_pairs.py
+    semantics, deterministic): each extracted QA pair yields a
+    positive (label 1, its answer) and a negative (label 0, the text
+    of an affine-deterministically drawn other document) — the
+    reference's random.sample negatives made reproducibility
+    impossible; the affine draw keeps corpus-wide negatives while
+    staying oracle-checkable. Negatives come from ONE hash join
+    against the corpus (never collected)."""
+    from knowledge_graph_ray.functions.qa import training_pairs
+
+    pairs = q_qa_pairs_extract(sf_dir)
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    n_docs = docs.count()
+    return training_pairs(pairs, docs, n_docs)
+
+
+def _sql_docs_training_pairs() -> str:
+    return (
+        "WITH pairs AS ("
+        + SQL_QA_PAIRS_EXTRACT
+        + """),
+n AS (SELECT COUNT(*) AS c FROM documents)
+SELECT doc_id, pair_idx, question, answer AS paragraph,
+       CAST(1 AS BIGINT) AS label
+FROM pairs
+UNION ALL
+SELECT p.doc_id, p.pair_idx, p.question, d.text AS paragraph,
+       CAST(0 AS BIGINT) AS label
+FROM pairs p CROSS JOIN n
+JOIN documents d
+  ON d.doc_id = (p.doc_id * 31 + p.pair_idx * 7 + 1) % n.c
+"""
+    )
+
+
 def q_alias_map_assembly(sf_dir: str) -> pa.Table:
     """G5 alias-map assembly over the synthetic entity table."""
     from knowledge_graph_ray.functions.canon import assemble_alias_map
@@ -2365,6 +2401,7 @@ QUERIES = {
     "warc_corpus_extract": q_warc_corpus_extract,
     "docs_url_hosts": q_docs_url_hosts,
     "docs_compression_ratio": q_docs_compression_ratio,
+    "docs_training_pairs": q_docs_training_pairs,
 }
 
 ORACLE_SQL = {
@@ -2423,4 +2460,5 @@ ORACLE_SQL = {
     "knn_ivf": SQL_KNN_ANN_SELFDUP,
     "knn_ivf_persisted": SQL_KNN_ANN_SELFDUP,
     "docs_url_hosts": _sql_docs_url_hosts(),
+    "docs_training_pairs": _sql_docs_training_pairs(),
 }
