@@ -264,10 +264,13 @@ def _expand(paths: str | list[str], filesystem=None) -> list[str]:
         fsys, fp = _fs_for(p, filesystem)
         info = fsys.get_file_info(fp)
         if info.type == pafs.FileType.Directory:
+            # filesystem paths come back scheme-less ("bucket/key");
+            # re-prefix so the per-task _fs_for resolves the same store
+            prefix = p.split("://", 1)[0] + "://" if "://" in p else ""
             files = fsys.get_file_info(pafs.FileSelector(fp))
             out.extend(
                 sorted(
-                    f.path
+                    prefix + f.path
                     for f in files
                     if f.is_file and (".warc" in f.base_name)
                 )
