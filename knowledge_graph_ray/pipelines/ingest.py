@@ -1,0 +1,181 @@
+"""Crawl-increment ingest: the production append loop, composed from
+shipped operators.
+
+The reference ingests one snapshot (get_files.py downloads, extract,
+dedup once); a living 100-TB corpus instead receives SHARDS (new WARC
+files per crawl) and must fold each shard in without ever re-reading,
+re-shuffling or re-deduplicating what is already ingested. This
+module glues the incremental pieces end to end:
+
+  WARC shards → read_warc (streamed, quarantined)
+    → extract (frozen byte-identical stage, error rows dropped)
+    → stable int64 doc ids (md5 of url|shard — re-crawls of a url get
+      a NEW id, so the ingested copy wins the near-dup rule)
+    → incremental_exact_dedup   (anti semi-join vs ingested texts,
+                                 then first-wins within the shard)
+    → incremental_minhash_drops (vs the PERSISTED band index —
+                                 ingested text is never re-hashed)
+    → append docs + band-index partitions under corpus_dir
+
+Layout (one directory per shard, marker-gated → a failed run resumes
+by skipping finished shards; the ingested corpus is append-only):
+
+  corpus_dir/docs/shard=<tag>/*.parquet   (doc_id, url, warc_ts, text, lang)
+  corpus_dir/bands/shard=<tag>/*.parquet  (band_key, doc_id, sig)
+  corpus_dir/docs/shard=<tag>/_DONE
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+
+import ray.data as rd
+from ray.data import Dataset
+
+from knowledge_graph_ray.functions.dedup import (
+    incremental_exact_dedup,
+    incremental_minhash_drops,
+    minhash_band_index,
+)
+from knowledge_graph_ray.functions.extract import extract_batch
+from knowledge_graph_ray.functions.hashing import md5_hash64_array
+from knowledge_graph_ray.pipelines.relational import semi_join
+from knowledge_graph_ray.sources.warc import read_warc
+
+DOC_COLS = ["doc_id", "url", "warc_ts", "text", "lang"]
+
+
+def _docs_from_warc(shard_paths, tag: str) -> Dataset:
+    """WARC shards → clean doc rows with stable int64 ids."""
+    pages = read_warc(shard_paths)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keep = pc.and_(
+            pc.is_null(batch.column("error")),
+            pc.greater(pc.utf8_length(batch.column("text")), 0),
+        )
+        batch = batch.filter(pc.fill_null(keep, False))
+        tagged = pc.binary_join_element_wise(
+            batch.column("url"), pa.scalar(f"|{tag}"), ""
+        )
+        ids = md5_hash64_array(tagged).astype("int64")
+        batch = batch.append_column("doc_id", pa.array(ids, pa.int64()))
+        return batch.select(DOC_COLS)
+
+    return pages.map_batches(extract_batch, batch_format="pyarrow").map_batches(
+        finish, batch_format="pyarrow"
+    )
+
+
+def ingest_increment(
+    shard_paths,
+    corpus_dir: str,
+    tag: str,
+    *,
+    near_dup: bool = True,
+    threshold: float = 0.7,
+    n_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+) -> dict:
+    """Fold one crawl shard into the corpus. Returns a manifest dict;
+    re-running a finished tag is a no-op (resume semantics)."""
+    docs_dir = os.path.join(corpus_dir, "docs", f"shard={tag}")
+    bands_dir = os.path.join(corpus_dir, "bands", f"shard={tag}")
+    marker = os.path.join(docs_dir, "_DONE")
+    if os.path.exists(marker):
+        return {"tag": tag, "skipped": True, "docs_dir": docs_dir}
+    # clear half-written partitions: write_parquet APPENDs (uuid file
+    # names), so a crashed attempt without its marker would double rows
+    import shutil
+
+    shutil.rmtree(docs_dir, ignore_errors=True)
+    shutil.rmtree(bands_dir, ignore_errors=True)
+
+    # materialize ONCE: the shard feeds exact dedup, the survivor
+    # rejoin, the band index and the final write — shard-sized
+    # (bounded per increment), plasma-backed, spillable
+    full = _docs_from_warc(shard_paths, tag).materialize()
+
+    seen_shards = _finished_shards(corpus_dir)
+    seen_doc_files = _parquet_files(corpus_dir, "docs", seen_shards)
+    if seen_doc_files:
+        seen_texts = rd.read_parquet(seen_doc_files, columns=["text"])
+        kept = incremental_exact_dedup(full, seen_texts)
+    else:
+        kept = incremental_exact_dedup(
+            full, rd.from_arrow(pa.table({"text": pa.array([], pa.large_string())}))
+        )
+    # exact_dedup projects down to its key columns; rejoin the full rows
+    new_docs = semi_join(
+        full, kept, on="doc_id", right_on="keep_id"
+    ).materialize()  # consumed by band index + drops + write below
+
+    if near_dup:
+        kw = dict(
+            n_hashes=n_hashes, bands=bands, shingle_k=shingle_k
+        )
+        seen_band_files = _parquet_files(corpus_dir, "bands", seen_shards)
+        if seen_band_files:
+            seen_bands = rd.read_parquet(seen_band_files)
+            drops = incremental_minhash_drops(
+                new_docs, seen_bands, threshold=threshold, **kw
+            )
+            new_docs = semi_join(
+                new_docs, drops, on="doc_id", right_on="node", anti=True
+            ).materialize()
+        band_table = minhash_band_index(new_docs, **kw)
+        band_table.write_parquet(bands_dir)
+
+    new_docs.write_parquet(docs_dir)
+    n_new = new_docs.count()
+    # an increment that contributes nothing is still FINISHED — the
+    # empty write creates no files, so make the marker's home ourselves
+    os.makedirs(docs_dir, exist_ok=True)
+    open(marker, "w").write("ok")
+    return {
+        "tag": tag,
+        "skipped": False,
+        "n_new_docs": n_new,
+        "docs_dir": docs_dir,
+        "bands_dir": bands_dir if near_dup else None,
+    }
+
+
+def _parquet_files(corpus_dir: str, sub: str, shards: list[str]) -> list[str]:
+    """Explicit .parquet file lists — read_parquet expands a single
+    directory but not a LIST of directories, and the _DONE markers
+    must never reach the reader. An empty-contribution shard simply
+    adds no files."""
+    out: list[str] = []
+    for s in shards:
+        d = os.path.join(corpus_dir, sub, s)
+        if os.path.isdir(d):
+            out.extend(
+                os.path.join(d, f) for f in sorted(os.listdir(d)) if f.endswith(".parquet")
+            )
+    return out
+
+
+def _finished_shards(corpus_dir: str) -> list[str]:
+    root = os.path.join(corpus_dir, "docs")
+    if not os.path.isdir(root):
+        return []
+    return sorted(
+        d
+        for d in os.listdir(root)
+        if d.startswith("shard=")
+        and os.path.exists(os.path.join(root, d, "_DONE"))
+    )
+
+
+def corpus_docs(corpus_dir: str) -> Dataset:
+    """The ingested corpus as one Dataset (all finished shards)."""
+    files = _parquet_files(corpus_dir, "docs", _finished_shards(corpus_dir))
+    if not files:
+        raise FileNotFoundError(f"no finished shards under {corpus_dir}")
+    return rd.read_parquet(files)
