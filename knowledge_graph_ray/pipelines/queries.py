@@ -2372,12 +2372,13 @@ QUERIES = {
     "events_value_stats": q_events_value_stats,
     "events_sessions": q_events_sessions,
     "events_asof_clicks": q_events_asof_clicks,
-    "events_range_clicks": q_events_range_clicks,
     "qa_pairs_extract": q_qa_pairs_extract,
     "docs_minhash_pairs": q_docs_minhash_pairs,
-    "docs_ngram_jaccard_pairs": q_docs_ngram_jaccard_pairs,
     "embedding_dup_pairs": q_embedding_dup_pairs,
     "docs_langid": q_docs_langid,
+    # round-4 additions, inside the driver window for attestation
+    "docs_url_hosts": q_docs_url_hosts,
+    "docs_training_pairs": q_docs_training_pairs,
     # rows-only (non-SQL-expressible)
     "kg_flagship": q_kg_flagship,
     "docs_wordpiece": q_docs_wordpiece,
@@ -2386,6 +2387,11 @@ QUERIES = {
     "mention_canonicalization": q_mention_canonicalization,
     # --- after the driver's 50-row window: families above keep a row;
     # each of these stays pytest-gated (and was driver-green in r03)
+    # r4 demotions to fit the round-4 additions: each family keeps a
+    # pre-cap row (asof stays for range; minhash/embedding stay for
+    # jaccard) and every demoted oracle remains pytest-gated
+    "events_range_clicks": q_events_range_clicks,
+    "docs_ngram_jaccard_pairs": q_docs_ngram_jaccard_pairs,
     "knn_ivf_persisted": q_knn_ivf_persisted,
     "docs_simhash_pairs": q_docs_simhash_pairs,
     "docs_transitive_dedup": q_docs_transitive_dedup,
