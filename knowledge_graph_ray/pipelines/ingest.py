@@ -20,7 +20,7 @@ module glues the incremental pieces end to end:
 Layout (one directory per shard, marker-gated → a failed run resumes
 by skipping finished shards; the ingested corpus is append-only):
 
-  corpus_dir/docs/shard=<tag>/*.parquet   (doc_id, url, warc_ts, text, lang)
+  corpus_dir/docs/shard=<tag>/*.parquet   (doc_id, url, warc_ts, text, lang, text_key)
   corpus_dir/bands/shard=<tag>/*.parquet  (band_key, doc_id, sig)
   corpus_dir/docs/shard=<tag>/_DONE
 """
@@ -44,11 +44,18 @@ from knowledge_graph_ray.functions.hashing import md5_hash64_array
 from knowledge_graph_ray.pipelines.relational import semi_join
 from knowledge_graph_ray.sources.warc import read_warc
 
-DOC_COLS = ["doc_id", "url", "warc_ts", "text", "lang"]
+DOC_COLS = ["doc_id", "url", "warc_ts", "text", "lang", "text_key"]
 
 
 def _docs_from_warc(shard_paths, tag: str) -> Dataset:
-    """WARC shards → clean doc rows with stable int64 ids."""
+    """WARC shards → clean doc rows with stable int64 ids and a
+    128-bit ``text_key`` (md5 hex). Exact dedup anti-joins on the key,
+    so a future increment reads 32 bytes per ingested doc instead of
+    the full text column — at corpus scale the seen side is ~100×
+    smaller IO (collision odds at 1e11 docs are ~1e-17; the key IS the
+    exact-dup identity, standard practice)."""
+    import hashlib
+
     pages = read_warc(shard_paths)
 
     def finish(batch: pa.Table) -> pa.Table:
@@ -64,6 +71,11 @@ def _docs_from_warc(shard_paths, tag: str) -> Dataset:
         )
         ids = md5_hash64_array(tagged).astype("int64")
         batch = batch.append_column("doc_id", pa.array(ids, pa.int64()))
+        keys = [
+            hashlib.md5(t.encode("utf-8", "replace")).hexdigest()
+            for t in batch.column("text").to_pylist()
+        ]
+        batch = batch.append_column("text_key", pa.array(keys, pa.string()))
         return batch.select(DOC_COLS)
 
     return pages.map_batches(extract_batch, batch_format="pyarrow").map_batches(
@@ -104,11 +116,14 @@ def ingest_increment(
     seen_shards = _finished_shards(corpus_dir)
     seen_doc_files = _parquet_files(corpus_dir, "docs", seen_shards)
     if seen_doc_files:
-        seen_texts = rd.read_parquet(seen_doc_files, columns=["text"])
-        kept = incremental_exact_dedup(full, seen_texts)
+        # 32 bytes/doc, never the ingested text column (see _docs_from_warc)
+        seen_keys = rd.read_parquet(seen_doc_files, columns=["text_key"])
+        kept = incremental_exact_dedup(full, seen_keys, text_col="text_key")
     else:
         kept = incremental_exact_dedup(
-            full, rd.from_arrow(pa.table({"text": pa.array([], pa.large_string())}))
+            full,
+            rd.from_arrow(pa.table({"text_key": pa.array([], pa.string())})),
+            text_col="text_key",
         )
     # exact_dedup projects down to its key columns; rejoin the full rows
     new_docs = semi_join(
