@@ -1206,6 +1206,55 @@ WHERE md5(CAST(doc_id AS VARCHAR)) < '1a'
 """
 
 
+# data-recipe rates: downsample overrepresented languages, keep the
+# rest — md5-threshold per group (seed-free, re-shard-stable, the
+# docs_sample_md5 mechanism applied per stratum). None = keep all.
+MIX_THRESHOLDS: dict[str, str | None] = {
+    "en": "40",  # ≈25% of the dominant language
+    "fr": "80",  # ≈50%
+    "de": None,
+    "es": None,
+    "zh": None,
+}
+
+
+def q_docs_corpus_mix(sf_dir: str) -> Dataset:
+    """Corpus mixing (the LLM "data recipe" op): each language is
+    sampled at its own deterministic rate in ONE shuffle-free pass —
+    membership depends only on the id, so the mix is stable under
+    re-sharding, resumable, and exactly reproducible (the reference
+    era's random.sample mixes are not). Unlisted languages drop."""
+    import hashlib
+
+    ds = _read(sf_dir, "documents").select_columns(["doc_id", "lang"])
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        langs = batch.column("lang").to_pylist()
+        mask = []
+        for i, lg in zip(ids, langs):
+            thr = MIX_THRESHOLDS.get(lg, "")
+            mask.append(
+                thr is None
+                or (thr != "" and hashlib.md5(str(i).encode()).hexdigest() < thr)
+            )
+        return batch.filter(pa.array(mask, pa.bool_()))
+
+    return ds.map_batches(keep, batch_format="pyarrow", batch_size=None)
+
+
+def _sql_docs_corpus_mix() -> str:
+    conds = []
+    keep_all = [lg for lg, t in MIX_THRESHOLDS.items() if t is None]
+    for lg, thr in MIX_THRESHOLDS.items():
+        if thr is not None:
+            conds.append(
+                f"(lang = '{lg}' AND md5(CAST(doc_id AS VARCHAR)) < '{thr}')"
+            )
+    conds.append("lang IN (" + ", ".join(f"'{lg}'" for lg in keep_all) + ")")
+    return "SELECT doc_id, lang FROM documents WHERE " + " OR ".join(conds)
+
+
 def q_docs_split_assign(sf_dir: str) -> Dataset:
     """Deterministic train/val/test split: md5(id) hex thresholds
     (~80/10/10) — seed-free, engine/SQL-portable, stable under
@@ -2392,6 +2441,7 @@ QUERIES = {
     # jaccard) and every demoted oracle remains pytest-gated
     "events_range_clicks": q_events_range_clicks,
     "docs_ngram_jaccard_pairs": q_docs_ngram_jaccard_pairs,
+    "docs_corpus_mix": q_docs_corpus_mix,
     "knn_ivf_persisted": q_knn_ivf_persisted,
     "docs_simhash_pairs": q_docs_simhash_pairs,
     "docs_transitive_dedup": q_docs_transitive_dedup,
@@ -2467,4 +2517,5 @@ ORACLE_SQL = {
     "knn_ivf_persisted": SQL_KNN_ANN_SELFDUP,
     "docs_url_hosts": _sql_docs_url_hosts(),
     "docs_training_pairs": _sql_docs_training_pairs(),
+    "docs_corpus_mix": _sql_docs_corpus_mix(),
 }
