@@ -225,3 +225,81 @@ def repetition_batch(df, text_col: str = "text", id_col: str = "doc_id"):
     out["top_token_n"] = out["top_token_n"].fillna(0).astype("int64")
     out["dup_token_n"] = out["dup_token_n"].fillna(0).astype("int64")
     return out
+
+
+def pack_sequences(
+    docs,
+    *,
+    budget: int = 2048,
+    num_buckets: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Sequence packing for pretraining (the GPT-style preprocessing
+    step M9's QA-chunk packer doesn't cover): greedily pack documents
+    into ≤``budget``-token training sequences. Packing is inherently
+    order-dependent, so the distributed contract is explicit: docs are
+    hash-bucketed on id (ONE int-key shuffle), each bucket packs its
+    docs in ascending-id order — deterministic, re-shard-stable, and
+    each bucket's packing is independent (sequence ids are
+    ``bucket * 2^32 + seq_in_bucket``). Oversized docs (> budget
+    alone) are quarantined as single-doc sequences with
+    ``oversize=True``, never silently truncated.
+
+    Returns rows (seq_id, doc_ids list<int64>, n_docs, n_tokens,
+    oversize). Laws (property-tested): every input doc appears in
+    exactly one sequence; no non-oversize sequence exceeds budget."""
+    import pandas as pd
+
+    from knowledge_graph_ray.pipelines.relational import hash_bucket_agg
+
+    def with_counts(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[[id_col, text_col]].copy()
+        df["n_tok"] = df[text_col].map(count_ws_tokens)
+        return df[[id_col, "n_tok"]]
+
+    counts = docs.map_batches(with_counts, batch_format="pandas", batch_size=None)
+
+    def pack_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        from knowledge_graph_ray.functions.hashing import (
+            combine_hashes,
+            hash64_array,
+        )
+
+        import numpy as np
+
+        df = df.sort_values(id_col)
+        # hash_bucket_agg drops its _bucket column before combine runs,
+        # and uint64 % python-int silently promotes to float64 (mangled
+        # modulo) — so don't reconstruct the bucket number at all:
+        # seq ids are a 64-bit mix of (hash of the bucket's min id,
+        # sequence index), unique across buckets because a doc lives in
+        # exactly one bucket
+        base = hash64_array(df[id_col].to_numpy()[:1]).astype(np.uint64)
+        cur, cur_tok = [], 0
+        out = {"seq_id": [], "doc_ids": [], "n_docs": [], "n_tokens": [], "oversize": []}
+
+        def flush(ids, tok, oversize):
+            idx = np.array([len(out["seq_id"])], dtype=np.uint64)
+            out["seq_id"].append(
+                int(combine_hashes(base, idx)[0].astype(np.int64))
+            )
+            out["doc_ids"].append(list(ids))
+            out["n_docs"].append(len(ids))
+            out["n_tokens"].append(int(tok))
+            out["oversize"].append(bool(oversize))
+
+        for did, tok in zip(df[id_col].to_numpy(), df["n_tok"].to_numpy()):
+            if tok > budget:
+                flush([did], tok, True)
+                continue
+            if cur and cur_tok + tok > budget:
+                flush(cur, cur_tok, False)
+                cur, cur_tok = [], 0
+            cur.append(did)
+            cur_tok += tok
+        if cur:
+            flush(cur, cur_tok, False)
+        return pd.DataFrame(out)
+
+    return hash_bucket_agg(counts, [id_col], pack_bucket, num_buckets=num_buckets)

@@ -1962,6 +1962,15 @@ def q_docs_compression_ratio(sf_dir: str) -> Dataset:
     ).select_columns(["doc_id", "compression_ratio"])
 
 
+def q_docs_pack_sequences(sf_dir: str) -> Dataset:
+    """Sequence packing for pretraining (rows-only: greedy packing is
+    order-dependent, not SQL; laws property-tested in
+    tests/test_knn_textstats): docs hash-bucketed on id, each bucket
+    packs in ascending-id order into ≤2048-token sequences."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return textstats.pack_sequences(ds, budget=2048)
+
+
 def q_warc_corpus_extract(sf_dir: str) -> Dataset:
     """S2-at-scale ingest shape: pages stored as Common-Crawl-style
     WARC shards (gzip member per record) → read_warc (one task per
@@ -2457,6 +2466,7 @@ QUERIES = {
     "warc_corpus_extract": q_warc_corpus_extract,
     "docs_url_hosts": q_docs_url_hosts,
     "docs_compression_ratio": q_docs_compression_ratio,
+    "docs_pack_sequences": q_docs_pack_sequences,
     "docs_training_pairs": q_docs_training_pairs,
 }
 

@@ -216,3 +216,48 @@ def test_compression_ratio_laws():
     assert r[3] == 1.0, "empty doc is neutral"
     # deterministic
     assert compression_ratio_batch(t).column("compression_ratio").to_pylist() == r
+
+
+def test_pack_sequences_laws(ray_session):
+    import ray.data as rd
+    import pyarrow as pa
+
+    from knowledge_graph_ray.functions.textstats import (
+        count_ws_tokens,
+        pack_sequences,
+    )
+
+    texts = (
+        ["ord " * 50] * 20          # 50 tokens each: 40 fit per 2048? no — budget 120 below
+        + ["lang tekst " * 100]     # 200 tokens: oversize at budget 120
+        + [f"doc {i} kort tekst her" for i in range(30)]
+    )
+    tbl = pa.table(
+        {"doc_id": pa.array(range(len(texts)), pa.int64()),
+         "text": pa.array(texts, pa.string())}
+    )
+
+    def run(blocks):
+        ds = rd.from_arrow(tbl).repartition(blocks)
+        return pack_sequences(ds, budget=120, num_buckets=4).take_all()
+
+    rows = run(2)
+    # law 1: every doc in exactly one sequence
+    all_ids = [d for r in rows for d in r["doc_ids"]]
+    assert sorted(all_ids) == list(range(len(texts)))
+    # law 2: no non-oversize sequence exceeds the budget; oversize = 1 doc
+    for r in rows:
+        if r["oversize"]:
+            assert r["n_docs"] == 1 and r["n_tokens"] > 120
+        else:
+            assert r["n_tokens"] <= 120
+        assert r["n_tokens"] == sum(
+            count_ws_tokens(texts[d]) for d in r["doc_ids"]
+        )
+    # law 3: globally unique seq ids
+    ids = [r["seq_id"] for r in rows]
+    assert len(ids) == len(set(ids))
+    # law 4: partition-count invariance (packing keyed on id hash only)
+    a = sorted(tuple(r["doc_ids"]) for r in rows)
+    b = sorted(tuple(r["doc_ids"]) for r in run(8))
+    assert a == b

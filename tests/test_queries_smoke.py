@@ -25,13 +25,15 @@ ROWS_ONLY = [
     "media_frames",
     "warc_corpus_extract",
     "docs_compression_ratio",
+    "docs_pack_sequences",
 ]
 
 MUST_HAVE_ROWS = {"kg_flagship", "mention_canonicalization",
                   "search_ranked_contexts", "alias_map_assembly",
                   "corpus_paragraphs", "udf_rephrase", "media_features",
                   "semantic_paragraphs", "pdf_corpus_extract",
-                  "warc_corpus_extract", "docs_compression_ratio"}
+                  "warc_corpus_extract", "docs_compression_ratio",
+                  "docs_pack_sequences"}
 
 
 @pytest.mark.parametrize("name", ROWS_ONLY)
