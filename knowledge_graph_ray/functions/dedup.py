@@ -457,9 +457,18 @@ def incremental_minhash_drops(
         bands=bands,
         shingle_k=shingle_k,
         seed=seed,
+    ).materialize()  # consumed by the key prefilter AND the union
+    # Only seen rows whose band_key collides with a NEW band key can
+    # ever form a pair involving a new doc (pure seen-seen pairs are
+    # discarded below anyway), so prefilter the persisted index by the
+    # shard's band keys BEFORE the banded shuffle: increment cost is
+    # proportional to the SHARD, not the ingested corpus. Measured at
+    # 200k ingested docs / full-re-crawl shard: 108 → 35 s increment.
+    seen_hit = semi_join(
+        seen_bands, new_bands.select_columns(["band_key"]), on="band_key"
     )
     pairs = minhash_pairs_from_bands(
-        seen_bands.union(new_bands), threshold=threshold, group_cap=group_cap
+        seen_hit.union(new_bands), threshold=threshold, group_cap=group_cap
     ).materialize()  # consumed by several classification joins below
     # materialized ONCE: each semi_join below independently consumes its
     # keys side, and an un-pinned new_ids would re-execute new_docs'

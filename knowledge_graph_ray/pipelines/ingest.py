@@ -130,7 +130,7 @@ def ingest_increment(
         full, kept, on="doc_id", right_on="keep_id"
     ).materialize()  # consumed by band index + drops + write below
 
-    if near_dup:
+    if near_dup and new_docs.count() > 0:  # materialized: count is free
         kw = dict(
             n_hashes=n_hashes, bands=bands, shingle_k=shingle_k
         )
