@@ -433,6 +433,7 @@ def incremental_minhash_drops(
     group_cap: int = DEFAULT_GROUP_CAP,
     seed: int = 42,
     num_buckets: int = 16,
+    precomputed_new_bands: Dataset | None = None,
 ) -> Dataset:
     """Append-only near-dup: which NEW ids to drop, given the
     PERSISTED band index of the ingested corpus (``seen_bands`` =
@@ -449,24 +450,60 @@ def incremental_minhash_drops(
     right_on='node', anti=True)``."""
     from knowledge_graph_ray.pipelines.relational import semi_join
 
-    new_bands = minhash_band_index(
-        new_docs,
-        text_col=text_col,
-        id_col=id_col,
-        n_hashes=n_hashes,
-        bands=bands,
-        shingle_k=shingle_k,
-        seed=seed,
-    ).materialize()  # consumed by the key prefilter AND the union
+    # the caller may have banded the shard already (ingest persists the
+    # survivors' slice of this table) — never shingle+hash text twice
+    new_bands = (
+        precomputed_new_bands
+        if precomputed_new_bands is not None
+        else minhash_band_index(
+            new_docs,
+            text_col=text_col,
+            id_col=id_col,
+            n_hashes=n_hashes,
+            bands=bands,
+            shingle_k=shingle_k,
+            seed=seed,
+        ).materialize()  # consumed by the key prefilter AND the union
+    )
     # Only seen rows whose band_key collides with a NEW band key can
     # ever form a pair involving a new doc (pure seen-seen pairs are
     # discarded below anyway), so prefilter the persisted index by the
     # shard's band keys BEFORE the banded shuffle: increment cost is
     # proportional to the SHARD, not the ingested corpus. Measured at
     # 200k ingested docs / full-re-crawl shard: 108 → 35 s increment.
-    seen_hit = semi_join(
-        seen_bands, new_bands.select_columns(["band_key"]), on="band_key"
+    # Broadcast np.isin on the int keys, NOT semi_join: the band table
+    # carries a list<int64> sig column, and Ray 2.49's hash-shuffle
+    # join breaks on nested-type schemas at scale (the CLAUDE.md acero
+    # schema-broadcast family). 8 bytes/key → a 6M-doc shard's key set
+    # is ~0.8 GB; above the cap skip the prefilter (correct, slower).
+    key_cap = 50_000_000
+    new_keys = np.unique(
+        np.concatenate(
+            [
+                b.column("band_key").to_numpy(zero_copy_only=False)
+                for b in new_bands.select_columns(["band_key"]).iter_batches(
+                    batch_format="pyarrow", batch_size=None
+                )
+                if b.num_rows
+            ]
+            or [np.array([], dtype=np.int64)]
+        )
     )
+    if len(new_keys) <= key_cap:
+        import ray as _ray
+
+        keys_ref = _ray.put(new_keys)
+
+        def hit(batch: pa.Table) -> pa.Table:
+            ks = _ray.get(keys_ref)
+            mask = np.isin(
+                batch.column("band_key").to_numpy(zero_copy_only=False), ks
+            )
+            return batch.filter(pa.array(mask, pa.bool_()))
+
+        seen_hit = seen_bands.map_batches(hit, batch_format="pyarrow")
+    else:
+        seen_hit = seen_bands
     pairs = minhash_pairs_from_bands(
         seen_hit.union(new_bands), threshold=threshold, group_cap=group_cap
     ).materialize()  # consumed by several classification joins below
@@ -474,11 +511,24 @@ def incremental_minhash_drops(
     # keys side, and an un-pinned new_ids would re-execute new_docs'
     # whole upstream per join (the consumed-twice re-execution trap)
     new_ids = new_docs.select_columns([id_col]).materialize()
-    a_new = semi_join(pairs, new_ids, on="a", right_on=id_col).materialize()
-    both_new = semi_join(a_new, new_ids, on="b", right_on=id_col)
-    a_new_b_seen = semi_join(a_new, new_ids, on="b", right_on=id_col, anti=True)
-    a_seen = semi_join(pairs, new_ids, on="a", right_on=id_col, anti=True)
-    b_new_a_seen = semi_join(a_seen, new_ids, on="b", right_on=id_col)
+    # classification joins broadcast up to 5M int ids (40 MB driver
+    # set, shard-bounded by contract): the distributed fallback rides
+    # Ray 2.49's hash join, whose schema broadcast still trips on the
+    # empty blocks pair-filtering produces (CLAUDE.md acero family)
+    _mb = 5_000_000
+    a_new = semi_join(
+        pairs, new_ids, on="a", right_on=id_col, max_broadcast=_mb
+    ).materialize()
+    both_new = semi_join(a_new, new_ids, on="b", right_on=id_col, max_broadcast=_mb)
+    a_new_b_seen = semi_join(
+        a_new, new_ids, on="b", right_on=id_col, anti=True, max_broadcast=_mb
+    )
+    a_seen = semi_join(
+        pairs, new_ids, on="a", right_on=id_col, anti=True, max_broadcast=_mb
+    )
+    b_new_a_seen = semi_join(
+        a_seen, new_ids, on="b", right_on=id_col, max_broadcast=_mb
+    )
 
     def col_as_node(name):
         def kernel(batch: pa.Table) -> pa.Table:

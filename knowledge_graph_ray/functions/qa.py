@@ -173,6 +173,11 @@ def training_pairs(
 
     from knowledge_graph_ray.pipelines.relational import hash_join
 
+    # consumed by the positive arm, the keyed negative arm AND the
+    # join's partition probe — pin once or the extractor upstream
+    # re-executes per consumer (the consumed-twice trap)
+    pairs = pairs.materialize()
+
     def pos(batch: pa.Table) -> pa.Table:
         return pa.table(
             {

@@ -241,8 +241,10 @@ def pack_sequences(
     order-dependent, so the distributed contract is explicit: docs are
     hash-bucketed on id (ONE int-key shuffle), each bucket packs its
     docs in ascending-id order — deterministic, re-shard-stable, and
-    each bucket's packing is independent (sequence ids are
-    ``bucket * 2^32 + seq_in_bucket``). Oversized docs (> budget
+    each bucket's packing is independent (sequence ids are a 64-bit
+    hash mix of the bucket's min doc id and the sequence index — the
+    bucket NUMBER itself is deliberately not encoded, see the in-body
+    note). Oversized docs (> budget
     alone) are quarantined as single-doc sequences with
     ``oversize=True``, never silently truncated.
 

@@ -21,7 +21,7 @@ Layout (one directory per shard, marker-gated → a failed run resumes
 by skipping finished shards; the ingested corpus is append-only):
 
   corpus_dir/docs/shard=<tag>/*.parquet   (doc_id, url, warc_ts, text, lang, text_key)
-  corpus_dir/bands/shard=<tag>/*.parquet  (band_key, doc_id, sig)
+  corpus_dir/bands/shard=<tag>/*.parquet  (band_key, id, sig)
   corpus_dir/docs/shard=<tag>/_DONE
 """
 
@@ -66,16 +66,23 @@ def _docs_from_warc(shard_paths, tag: str) -> Dataset:
             pc.greater(pc.utf8_length(batch.column("text")), 0),
         )
         batch = batch.filter(pc.fill_null(keep, False))
-        tagged = pc.binary_join_element_wise(
-            batch.column("url"), pa.scalar(f"|{tag}"), ""
-        )
-        ids = md5_hash64_array(tagged).astype("int64")
-        batch = batch.append_column("doc_id", pa.array(ids, pa.int64()))
         keys = [
             hashlib.md5(t.encode("utf-8", "replace")).hexdigest()
             for t in batch.column("text").to_pylist()
         ]
         batch = batch.append_column("text_key", pa.array(keys, pa.string()))
+        # id = md5(url|text_key|tag): distinct texts at a re-captured
+        # url get DISTINCT ids (the disjoint-id contract the near-dup
+        # survivor rule needs); byte-identical re-captures share one id
+        # and collapse in the id-dedupe step below
+        tagged = pc.binary_join_element_wise(
+            batch.column("url"),
+            batch.column("text_key"),
+            pa.scalar(tag),
+            "|",
+        )
+        ids = md5_hash64_array(tagged).astype("int64")
+        batch = batch.append_column("doc_id", pa.array(ids, pa.int64()))
         return batch.select(DOC_COLS)
 
     return pages.map_batches(extract_batch, batch_format="pyarrow").map_batches(
@@ -111,7 +118,7 @@ def ingest_increment(
     # materialize ONCE: the shard feeds exact dedup, the survivor
     # rejoin, the band index and the final write — shard-sized
     # (bounded per increment), plasma-backed, spillable
-    full = _docs_from_warc(shard_paths, tag).materialize()
+    full = _dedupe_ids(_docs_from_warc(shard_paths, tag)).materialize()
 
     seen_shards = _finished_shards(corpus_dir)
     seen_doc_files = _parquet_files(corpus_dir, "docs", seen_shards)
@@ -134,17 +141,64 @@ def ingest_increment(
         kw = dict(
             n_hashes=n_hashes, bands=bands, shingle_k=shingle_k
         )
+        # band the shard ONCE; drops reuses it and the survivors' slice
+        # is what gets persisted — text is never shingled twice
+        new_bands = minhash_band_index(new_docs, **kw).materialize()
         seen_band_files = _parquet_files(corpus_dir, "bands", seen_shards)
         if seen_band_files:
             seen_bands = rd.read_parquet(seen_band_files)
-            drops = incremental_minhash_drops(
-                new_docs, seen_bands, threshold=threshold, **kw
+        else:
+            # first shard: empty seen side with the band schema, so
+            # WITHIN-shard near-dups still collapse (transitive min-id)
+            seen_bands = rd.from_arrow(
+                pa.table(
+                    {
+                        "band_key": pa.array([], pa.int64()),
+                        "id": pa.array([], pa.int64()),
+                        "sig": pa.array([], pa.list_(pa.int64())),
+                    }
+                )
             )
-            new_docs = semi_join(
-                new_docs, drops, on="doc_id", right_on="node", anti=True
-            ).materialize()
-        band_table = minhash_band_index(new_docs, **kw)
-        band_table.write_parquet(bands_dir)
+        drops = incremental_minhash_drops(
+            new_docs,
+            seen_bands,
+            threshold=threshold,
+            precomputed_new_bands=new_bands,
+            **kw,
+        )
+        new_docs = semi_join(
+            new_docs, drops, on="doc_id", right_on="node", anti=True
+        ).materialize()
+        # survivors' slice of the band table via broadcast isin, not a
+        # join: the sig list<int64> column trips Ray 2.49's hash-join
+        # schema broadcast on nested types (see dedup.py prefilter)
+        import numpy as np
+
+        import ray as _ray
+
+        ids = np.unique(
+            np.concatenate(
+                [
+                    b.column("doc_id").to_numpy(zero_copy_only=False)
+                    for b in new_docs.select_columns(["doc_id"]).iter_batches(
+                        batch_format="pyarrow", batch_size=None
+                    )
+                    if b.num_rows
+                ]
+                or [np.array([], dtype=np.int64)]
+            )
+        )
+        ids_ref = _ray.put(ids)
+
+        def keep_band(batch: pa.Table) -> pa.Table:
+            mask = np.isin(
+                batch.column("id").to_numpy(zero_copy_only=False), _ray.get(ids_ref)
+            )
+            return batch.filter(pa.array(mask, pa.bool_()))
+
+        new_bands.map_batches(keep_band, batch_format="pyarrow").write_parquet(
+            bands_dir
+        )
 
     new_docs.write_parquet(docs_dir)
     n_new = new_docs.count()
@@ -159,6 +213,21 @@ def ingest_increment(
         "docs_dir": docs_dir,
         "bands_dir": bands_dir if near_dup else None,
     }
+
+
+def _dedupe_ids(docs: Dataset) -> Dataset:
+    """Collapse byte-identical re-captures (same url, same text, same
+    shard → same doc_id by construction) to one row, min warc_ts wins
+    — one int-key bucket shuffle, deterministic. Without this, the
+    exact-dedup survivor rejoin (on doc_id) would re-admit every copy."""
+    from knowledge_graph_ray.pipelines.relational import hash_bucket_agg
+
+    def first_per_id(df):
+        return df.sort_values(["doc_id", "warc_ts"]).drop_duplicates(
+            "doc_id", keep="first"
+        )
+
+    return hash_bucket_agg(docs, ["doc_id"], first_per_id, num_buckets=32)
 
 
 def _parquet_files(corpus_dir: str, sub: str, shards: list[str]) -> list[str]:

@@ -2426,7 +2426,7 @@ QUERIES = {
     "graph_pagerank_pregel": q_graph_pagerank_pregel,
     "docs_pii_scrub": q_docs_pii_scrub,
     "docs_contamination": q_docs_contamination,
-    "docs_sample_md5": q_docs_sample_md5,
+    "docs_corpus_mix": q_docs_corpus_mix,
     "events_value_stats": q_events_value_stats,
     "events_sessions": q_events_sessions,
     "events_asof_clicks": q_events_asof_clicks,
@@ -2450,7 +2450,7 @@ QUERIES = {
     # jaccard) and every demoted oracle remains pytest-gated
     "events_range_clicks": q_events_range_clicks,
     "docs_ngram_jaccard_pairs": q_docs_ngram_jaccard_pairs,
-    "docs_corpus_mix": q_docs_corpus_mix,
+    "docs_sample_md5": q_docs_sample_md5,
     "knn_ivf_persisted": q_knn_ivf_persisted,
     "docs_simhash_pairs": q_docs_simhash_pairs,
     "docs_transitive_dedup": q_docs_transitive_dedup,
@@ -2464,10 +2464,8 @@ QUERIES = {
     "semantic_paragraphs": q_semantic_paragraphs,
     "pdf_corpus_extract": q_pdf_corpus_extract,
     "warc_corpus_extract": q_warc_corpus_extract,
-    "docs_url_hosts": q_docs_url_hosts,
     "docs_compression_ratio": q_docs_compression_ratio,
     "docs_pack_sequences": q_docs_pack_sequences,
-    "docs_training_pairs": q_docs_training_pairs,
 }
 
 ORACLE_SQL = {

@@ -43,10 +43,15 @@ def _iter_decompressed(chunks: Iterator[bytes]) -> Iterator[bytes]:
     """Streaming multistream-gzip inflate: compressed chunks in (any
     sizes — file-read buffers), decompressed chunks out, member
     boundaries carried across input chunks by one ``decompressobj``
-    at a time. Plain (non-gzip) input passes through untouched. A
-    corrupt member ends the stream after the last good member
-    (complete-prefix semantics); a truncated final member yields what
-    it inflated."""
+    at a time. Plain (non-gzip) input passes through untouched.
+
+    A corrupt member quarantines ONLY itself: the stream resyncs at
+    the next gzip magic (``1f 8b``, carried across chunk boundaries)
+    and later members still decode — one poison record never drops the
+    rest of a shard. A false magic inside corrupt bytes just fails
+    again and resyncs further (each attempt advances ≥1 byte, so the
+    scan terminates). A truncated final member yields what it
+    inflated."""
     it = iter(chunks)
     try:
         data = next(it)
@@ -67,7 +72,18 @@ def _iter_decompressed(chunks: Iterator[bytes]) -> Iterator[bytes]:
         try:
             out = d.decompress(data)
         except zlib.error:
-            return
+            # resync: skip ≥1 byte, then scan for the next member magic
+            j = data.find(b"\x1f\x8b", 1)
+            while j < 0:
+                carry = data[-1:]  # magic may straddle a chunk boundary
+                try:
+                    data = carry + next(it)
+                except StopIteration:
+                    return
+                j = data.find(b"\x1f\x8b")
+            data = data[j:]
+            d = zlib.decompressobj(wbits=31)
+            continue
         data = b""
         if out:
             yield out
@@ -378,16 +394,18 @@ def write_warc(ds, out_dir: str, *, gzip_members: bool = True) -> list[dict]:
     (distributed write; same shard-manifest pattern as
     functions/triples.write_turtle_partitioned). Returns the manifest
     [{path, n_records}, ...] — block-count-sized, never page-sized."""
-    import hashlib
     import os
+    import uuid
 
     os.makedirs(out_dir, exist_ok=True)
     suffix = ".warc.gz" if gzip_members else ".warc"
 
     def write_shard(batch: pa.Table) -> pa.Table:
-        name = hashlib.md5(
-            b"\0".join(u.encode() for u in batch.column("url").to_pylist())
-        ).hexdigest()[:16]
+        # uuid per task, the write_parquet convention: content-derived
+        # names collide when two blocks carry the same url sequence
+        # (pre-dedup re-crawls) and would silently overwrite a shard
+        # while the manifest double-counts
+        name = uuid.uuid4().hex[:16]
         path = os.path.join(out_dir, f"part-{name}{suffix}")
         ts_col = batch.column("warc_ts").to_pylist()
         with open(path, "wb") as f:

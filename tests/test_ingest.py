@@ -92,3 +92,30 @@ def test_ingest_first_shard_no_near_dup(ray_session, tmp_path):
 def test_corpus_docs_empty_raises(tmp_path):
     with pytest.raises(FileNotFoundError):
         corpus_docs(str(tmp_path / "missing"))
+
+
+def test_ingest_recapture_and_within_shard_near_dup(ray_session, tmp_path):
+    """Round-4 review fixes: byte-identical re-captures of one url
+    collapse to one row; distinct texts at one url keep distinct ids;
+    the FIRST shard already collapses within-shard near-dups."""
+    corpus = str(tmp_path / "c3")
+    base = BODIES[2] * 3
+    s = _shard(
+        tmp_path,
+        "d.warc.gz",
+        [
+            ("http://r/x", base),                 # capture 1
+            ("http://r/x", base),                 # byte-identical re-capture
+            ("http://r/x", BODIES[3] * 3),        # same url, DIFFERENT text
+            ("http://r/near", base[:-5] + "dag."),  # near-dup of capture 1
+            ("http://r/other", BODIES[5] * 3),
+        ],
+    )
+    m = ingest_increment([s], corpus, "d")
+    docs = corpus_docs(corpus).take_all()
+    texts = {r["text"] for r in docs}
+    assert m["n_new_docs"] == 3  # recapture collapsed, near-dup dropped
+    assert base in texts and (BODIES[3] * 3) in texts and (BODIES[5] * 3) in texts
+    assert (base[:-5] + "dag.") not in texts
+    ids = [r["doc_id"] for r in docs]
+    assert len(ids) == len(set(ids))

@@ -77,16 +77,24 @@ def test_html_only_content_type_and_status_filters():
     assert [r["url"] for r in recs] == ["http://png/", "http://ok/"]
 
 
-def test_corrupt_member_yields_complete_prefix():
+def test_corrupt_member_quarantines_only_itself():
     pages = synth.pages_table(10)
     good = _shard(pages, gzip_member=True)
     bad = b"\x1f\x8b\x08\x00garbage-not-a-valid-member"
     recs = list(iter_warc_records(good + bad))
     assert len(recs) == 10
-    # corruption mid-stream: records before it survive
+    # corruption mid-stream: the stream RESYNCS at the next gzip magic
+    # and every record after the poison member still decodes
     half = _shard(pages.slice(0, 5), gzip_member=True)
     recs = list(iter_warc_records(half + bad + _shard(pages.slice(5), gzip_member=True)))
-    assert len(recs) == 5
+    assert len(recs) == 10
+    assert [r["url"] for r in recs] == pages.column("url").to_pylist()
+    # a bad member whose garbage contains a FALSE magic: resync retries
+    bad2 = b"\x1f\x8b\x08\x00junk\x1f\x8bmorejunk"
+    recs = list(
+        iter_warc_records(half + bad2 + _shard(pages.slice(5), gzip_member=True))
+    )
+    assert len(recs) == 10
 
 
 def test_truncated_plain_record_yields_prefix():
