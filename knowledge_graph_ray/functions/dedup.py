@@ -66,16 +66,38 @@ def _tokens(text: str) -> list[str]:
     return _TOKEN_RE.findall((text or "").lower())
 
 
-def shingle_hashes(text: str, k: int = 3) -> np.ndarray:
-    """Token k-shingles → uint64 md5 hashes (sorted, unique)."""
+def _row_shingles(text: str, k: int) -> list[str]:
     toks = _tokens(text)
     if len(toks) < k:
-        shingles = [" ".join(toks)] if toks else []
-    else:
-        shingles = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+        return [" ".join(toks)] if toks else []
+    return [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+
+
+def shingle_hashes(text: str, k: int = 3) -> np.ndarray:
+    """Token k-shingles → uint64 md5 hashes (sorted, unique)."""
+    shingles = _row_shingles(text, k)
     if not shingles:
         return np.array([], dtype=np.uint64)
     return np.unique(md5_hash64_array(shingles))
+
+
+def shingle_hashes_batch(texts: list[str], k: int = 3) -> list[np.ndarray]:
+    """Per-row sorted-unique shingle hashes for a WHOLE batch with ONE
+    md5 pass: concatenate every row's shingle strings, hash once
+    (DuckDB's vectorized kernel via ``md5_hash64_array``), split by
+    offsets, unique per segment — the ``simhash64_batch`` pattern.
+    Same hashes as ``shingle_hashes`` row-by-row (same md5 family)."""
+    per_row = [_row_shingles(t, k) for t in texts]
+    lens = np.fromiter((len(p) for p in per_row), dtype=np.int64, count=len(per_row))
+    if int(lens.sum()) == 0:
+        return [np.array([], dtype=np.uint64) for _ in per_row]
+    all_hashes = md5_hash64_array([s for p in per_row for s in p])
+    bounds = np.zeros(len(per_row) + 1, dtype=np.int64)
+    np.cumsum(lens, out=bounds[1:])
+    return [
+        np.unique(all_hashes[bounds[i] : bounds[i + 1]])
+        for i in range(len(per_row))
+    ]
 
 
 def _dedup_pairs(pairs: "Dataset", *, agg: str = "min", num_buckets: int = 16):
@@ -263,6 +285,19 @@ def _hasher(n_hashes: int, seed: int) -> MinHasher:
     return _HASHERS[key]
 
 
+_PLANES: dict[tuple[int, int, int], np.ndarray] = {}
+
+
+def _hyperplanes(dim: int, nbits: int, seed: int) -> np.ndarray:
+    """Per-process cache of the (dim, nbits) random-hyperplane matrix —
+    deterministic per (dim, nbits, seed), generated once per worker
+    instead of once per batch (the ``_hasher`` pattern)."""
+    key = (dim, nbits, seed)
+    if key not in _PLANES:
+        _PLANES[key] = np.random.default_rng(seed).standard_normal((dim, nbits))
+    return _PLANES[key]
+
+
 def minhash_band_rows(
     batch: pa.Table,
     *,
@@ -283,7 +318,7 @@ def minhash_band_rows(
     n = batch.num_rows
     ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
     texts = batch.column(text_col).to_pylist()
-    sigs = hasher.signatures([shingle_hashes(t, shingle_k) for t in texts])
+    sigs = hasher.signatures(shingle_hashes_batch(texts, shingle_k))
     # band keys: (n, bands) → flat; slice j of band b of row i is
     # sigs[i, b*rpb + j]
     sliced = sigs.reshape(n, bands, rows_per_band) if n else sigs.reshape(
@@ -699,7 +734,10 @@ def ngram_jaccard_pairs(
         ids = df["id"].to_numpy()
         if len(ids) < 2:
             return _pair_frame(ids, np.zeros((0, 0)), threshold)
-        sets = [set(shingle_hashes(t, shingle_k).tolist()) for t in df["text"]]
+        sets = [
+            set(h.tolist())
+            for h in shingle_hashes_batch(list(df["text"]), shingle_k)
+        ]
         m = len(ids)
         jac = np.zeros((m, m))
         for i in range(m):
@@ -757,8 +795,7 @@ def embedding_cosine_pairs(
         from knowledge_graph_ray.stages.knn import vec_matrix
         vecs = np.asarray(vec_matrix(batch.column(vec_col)), dtype=np.float64)
         d = dim or vecs.shape[1]
-        rng = np.random.default_rng(seed)
-        planes = rng.standard_normal((d, nbits))
+        planes = _hyperplanes(d, nbits, seed)
         norms = np.linalg.norm(vecs, axis=1, keepdims=True)
         norms[norms == 0] = 1
         unit = vecs / norms

@@ -160,10 +160,20 @@ def training_pairs(
     pair yields a positive row (label 1, paragraph = its answer) and a
     negative row (label 0, paragraph = the text of a pseudo-randomly
     but DETERMINISTICALLY chosen other document:
-    doc (doc_id·mult_doc + pair_idx·mult_idx + offset) mod n_docs).
-    The reference's random.sample negatives are irreproducible across
-    runs; the affine-keyed draw keeps the negative distribution
-    corpus-wide while staying oracle-checkable and resume-stable.
+    doc (doc_id·mult_doc + pair_idx·mult_idx + offset) mod n_docs,
+    bumped by one — (key+1) mod n_docs — when the draw lands on the
+    pair's OWN document, mirroring the reference's re-draw-while-
+    negative==positive loop so a label-0 row can never contain the
+    true answer). The reference's random.sample negatives are
+    irreproducible across runs; the affine-keyed draw keeps the
+    negative distribution corpus-wide while staying oracle-checkable
+    and resume-stable.
+
+    ids are floor-modded into [0, n_docs) BEFORE the affine multiply:
+    md5-derived int64 doc_ids are negative ~half the time, and a
+    trunc-mod negative key would silently drop those negatives at the
+    join (and the raw multiply could wrap int64 where the SQL twin
+    raises).
 
     Distributed shape: positives are a pure per-batch projection; the
     negative lookup is one hash join of the (small) pair table against
@@ -189,18 +199,30 @@ def training_pairs(
             }
         )
 
+    def floor_mod(col):
+        # Arrow divide truncates toward zero → trunc-mod; fix the sign
+        r = pc.subtract(col, pc.multiply(pc.divide(col, n_docs), n_docs))
+        return pc.if_else(pc.less(r, 0), pc.add(r, n_docs), r)
+
     def with_key(batch: pa.Table) -> pa.Table:
-        key = pc.add(
+        # reduce ids into [0, n_docs) first: keeps the affine multiply
+        # far from int64 overflow and makes % a true mod for negatives
+        key = floor_mod(
             pc.add(
-                pc.multiply(batch.column("doc_id"), mult_doc),
-                pc.multiply(batch.column("pair_idx"), mult_idx),
-            ),
-            offset,
+                pc.add(
+                    pc.multiply(floor_mod(batch.column("doc_id")), mult_doc),
+                    pc.multiply(floor_mod(batch.column("pair_idx")), mult_idx),
+                ),
+                offset,
+            )
         )
-        # doc_id/pair_idx are non-negative by contract, so % == mod
-        key = pc.subtract(
-            key, pc.multiply(pc.divide(key, n_docs), n_docs)
+        # never draw the pair's own document as its negative
+        own = pc.equal(key, batch.column("doc_id"))
+        bumped = pc.subtract(
+            pc.add(key, 1),
+            pc.multiply(pc.divide(pc.add(key, 1), n_docs), n_docs),
         )
+        key = pc.if_else(own, bumped, key)
         return batch.append_column("neg_key", key)
 
     def neg(batch: pa.Table) -> pa.Table:

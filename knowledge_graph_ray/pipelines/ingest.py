@@ -40,7 +40,7 @@ from knowledge_graph_ray.functions.dedup import (
     minhash_band_index,
 )
 from knowledge_graph_ray.functions.extract import extract_batch
-from knowledge_graph_ray.functions.hashing import md5_hash64_array
+from knowledge_graph_ray.functions.hashing import md5_hash64_array, md5_hex_array
 from knowledge_graph_ray.pipelines.relational import semi_join
 from knowledge_graph_ray.sources.warc import read_warc
 
@@ -54,8 +54,6 @@ def _docs_from_warc(shard_paths, tag: str) -> Dataset:
     the full text column — at corpus scale the seen side is ~100×
     smaller IO (collision odds at 1e11 docs are ~1e-17; the key IS the
     exact-dup identity, standard practice)."""
-    import hashlib
-
     pages = read_warc(shard_paths)
 
     def finish(batch: pa.Table) -> pa.Table:
@@ -66,11 +64,10 @@ def _docs_from_warc(shard_paths, tag: str) -> Dataset:
             pc.greater(pc.utf8_length(batch.column("text")), 0),
         )
         batch = batch.filter(pc.fill_null(keep, False))
-        keys = [
-            hashlib.md5(t.encode("utf-8", "replace")).hexdigest()
-            for t in batch.column("text").to_pylist()
-        ]
-        batch = batch.append_column("text_key", pa.array(keys, pa.string()))
+        # one vectorized digest pass per batch (DuckDB md5 kernel),
+        # same hex keys as the old per-row hashlib loop
+        keys = md5_hex_array(batch.column("text"))
+        batch = batch.append_column("text_key", keys)
         # id = md5(url|text_key|tag): distinct texts at a re-captured
         # url get DISTINCT ids (the disjoint-id contract the near-dup
         # survivor rule needs); byte-identical re-captures share one id

@@ -1186,16 +1186,13 @@ def q_mention_canonicalization(sf_dir: str) -> Dataset:
 def q_docs_sample_md5(sf_dir: str) -> Dataset:
     """K3 deterministic sampling: keep rows whose md5(id) hex is below
     a threshold prefix (≈10%) — seed-free, engine/SQL-portable."""
-    import hashlib
+    from knowledge_graph_ray.functions.hashing import md5_hex_array
 
     ds = _read(sf_dir, "documents").select_columns(["doc_id", "lang"])
 
     def keep(batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").to_pylist()
-        mask = [
-            hashlib.md5(str(i).encode()).hexdigest() < "1a" for i in ids
-        ]
-        return batch.filter(pa.array(mask, pa.bool_()))
+        hexes = md5_hex_array(pc.cast(batch.column("doc_id"), pa.string()))
+        return batch.filter(pc.less(hexes, "1a"))
 
     return ds.map_batches(keep, batch_format="pyarrow", batch_size=None)
 
@@ -1224,21 +1221,23 @@ def q_docs_corpus_mix(sf_dir: str) -> Dataset:
     membership depends only on the id, so the mix is stable under
     re-sharding, resumable, and exactly reproducible (the reference
     era's random.sample mixes are not). Unlisted languages drop."""
-    import hashlib
+    import numpy as np
+
+    from knowledge_graph_ray.functions.hashing import md5_hex_array
 
     ds = _read(sf_dir, "documents").select_columns(["doc_id", "lang"])
 
     def keep(batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").to_pylist()
-        langs = batch.column("lang").to_pylist()
-        mask = []
-        for i, lg in zip(ids, langs):
-            thr = MIX_THRESHOLDS.get(lg, "")
-            mask.append(
-                thr is None
-                or (thr != "" and hashlib.md5(str(i).encode()).hexdigest() < thr)
-            )
-        return batch.filter(pa.array(mask, pa.bool_()))
+        hexes = np.asarray(
+            md5_hex_array(pc.cast(batch.column("doc_id"), pa.string())).to_pylist(),
+            dtype=object,
+        )
+        langs = np.asarray(batch.column("lang").to_pylist(), dtype=object)
+        mask = np.zeros(batch.num_rows, dtype=bool)
+        for lg, thr in MIX_THRESHOLDS.items():
+            in_lang = langs == lg
+            mask |= in_lang if thr is None else (in_lang & (hexes < thr))
+        return batch.filter(pa.array(mask))
 
     return ds.map_batches(keep, batch_format="pyarrow", batch_size=None)
 
@@ -1260,18 +1259,18 @@ def q_docs_split_assign(sf_dir: str) -> Dataset:
     (~80/10/10) — seed-free, engine/SQL-portable, stable under
     re-sharding (assignment depends only on the id, never on row
     order or partition count)."""
-    import hashlib
+    from knowledge_graph_ray.functions.hashing import md5_hex_array
 
     ds = _read(sf_dir, "documents").select_columns(["doc_id"])
 
     def assign(batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").to_pylist()
-        hexes = [hashlib.md5(str(i).encode()).hexdigest() for i in ids]
-        split = [
-            "train" if h < "cc" else ("val" if h < "e6" else "test")
-            for h in hexes
-        ]
-        return batch.append_column("split", pa.array(split, pa.string()))
+        hexes = md5_hex_array(pc.cast(batch.column("doc_id"), pa.string()))
+        split = pc.if_else(
+            pc.less(hexes, "cc"),
+            pa.scalar("train"),
+            pc.if_else(pc.less(hexes, "e6"), pa.scalar("val"), pa.scalar("test")),
+        )
+        return batch.append_column("split", pc.cast(split, pa.string()))
 
     return ds.map_batches(assign, batch_format="pyarrow", batch_size=None)
 
@@ -1282,14 +1281,13 @@ def q_docs_stratified_sample(sf_dir: str, k: int = 20) -> Dataset:
     Per-block top-k combiner first, so only ≤ k·langs rows per block
     enter the one small shuffle — the grouped twin of the global
     top-k pattern (stages/knn.py)."""
-    import hashlib
+    from knowledge_graph_ray.functions.hashing import md5_hex_array
 
     ds = _read(sf_dir, "documents").select_columns(["doc_id", "lang"])
 
     def with_key(batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").to_pylist()
-        keys = [hashlib.md5(str(i).encode()).hexdigest() for i in ids]
-        return batch.append_column("_md5", pa.array(keys, pa.string()))
+        keys = md5_hex_array(pc.cast(batch.column("doc_id"), pa.string()))
+        return batch.append_column("_md5", keys)
 
     def topk(df: pd.DataFrame) -> pd.DataFrame:
         return (
@@ -1626,16 +1624,26 @@ def _sql_docs_training_pairs() -> str:
         "WITH pairs AS ("
         + SQL_QA_PAIRS_EXTRACT
         + """),
-n AS (SELECT COUNT(*) AS c FROM documents)
+n AS (SELECT COUNT(*) AS c FROM documents),
+keyed AS (
+  -- floor-mod ids into [0, c) before the affine multiply, then bump
+  -- by one when the draw lands on the pair's own document (the Ray
+  -- kernel in functions/qa.py:training_pairs computes the same)
+  SELECT p.*, n.c,
+         ((((p.doc_id % n.c) + n.c) % n.c) * 31
+          + (((p.pair_idx % n.c) + n.c) % n.c) * 7 + 1) % n.c AS base
+  FROM pairs p CROSS JOIN n
+)
 SELECT doc_id, pair_idx, question, answer AS paragraph,
        CAST(1 AS BIGINT) AS label
 FROM pairs
 UNION ALL
-SELECT p.doc_id, p.pair_idx, p.question, d.text AS paragraph,
+SELECT k.doc_id, k.pair_idx, k.question, d.text AS paragraph,
        CAST(0 AS BIGINT) AS label
-FROM pairs p CROSS JOIN n
+FROM keyed k
 JOIN documents d
-  ON d.doc_id = (p.doc_id * 31 + p.pair_idx * 7 + 1) % n.c
+  ON d.doc_id = CASE WHEN k.base = k.doc_id
+                     THEN (k.base + 1) % k.c ELSE k.base END
 """
     )
 
@@ -1985,7 +1993,21 @@ def q_warc_corpus_extract(sf_dir: str) -> Dataset:
     from knowledge_graph_ray.sources.warc import read_warc, write_warc
 
     n = min(pages_count_for(sf_dir), 500)
-    shard_dir = f"/tmp/warc_corpus_{n}"
+    # cache keyed on a content fingerprint of the synthesizer output:
+    # if page generation changes, the directory name changes and stale
+    # shards from an older synth version can never be read (ADVICE r4)
+    import hashlib
+
+    probe = synth.pages_table(2)
+    fp = hashlib.md5(
+        b"|".join(
+            u.encode() + h
+            for u, h in zip(
+                probe.column("url").to_pylist(), probe.column("html").to_pylist()
+            )
+        )
+    ).hexdigest()[:8]
+    shard_dir = f"/tmp/warc_corpus_{n}_{fp}"
     marker = os.path.join(shard_dir, "_DONE")
     if not os.path.exists(marker):
         import shutil

@@ -39,11 +39,14 @@ _WARC_TS = "%Y-%m-%dT%H:%M:%SZ"
 # --------------------------------------------------------------------------
 
 
-def _iter_decompressed(chunks: Iterator[bytes]) -> Iterator[bytes]:
+def _iter_decompressed(chunks: Iterator[bytes]) -> Iterator[tuple[bool, bytes]]:
     """Streaming multistream-gzip inflate: compressed chunks in (any
-    sizes — file-read buffers), decompressed chunks out, member
-    boundaries carried across input chunks by one ``decompressobj``
-    at a time. Plain (non-gzip) input passes through untouched.
+    sizes — file-read buffers), ``(member_start, bytes)`` out — the
+    flag is True on the FIRST output chunk of each gzip member, so the
+    record parser downstream can resync framing at a member boundary
+    after a poison member inflated partial bytes. Member boundaries
+    are carried across input chunks by one ``decompressobj`` at a
+    time; plain (non-gzip) input passes through as a single "member".
 
     A corrupt member quarantines ONLY itself: the stream resyncs at
     the next gzip magic (``1f 8b``, carried across chunk boundaries)
@@ -58,10 +61,12 @@ def _iter_decompressed(chunks: Iterator[bytes]) -> Iterator[bytes]:
     except StopIteration:
         return
     if data[:2] != b"\x1f\x8b":
-        yield data
-        yield from it
+        yield True, data
+        for rest in it:
+            yield False, rest
         return
     d = zlib.decompressobj(wbits=31)
+    fresh = True  # next non-empty output opens a new member
     while True:
         if not data:
             try:
@@ -83,58 +88,109 @@ def _iter_decompressed(chunks: Iterator[bytes]) -> Iterator[bytes]:
                 j = data.find(b"\x1f\x8b")
             data = data[j:]
             d = zlib.decompressobj(wbits=31)
+            fresh = True
             continue
         data = b""
         if out:
-            yield out
+            yield fresh, out
+            fresh = False
         if d.eof:
             data = d.unused_data
             d = zlib.decompressobj(wbits=31)
+            fresh = True
+
+
+# sentinel: a read spanned a gzip-member boundary — the record was
+# truncated by a poison member; the buffer has been repositioned at
+# the fresh member's first byte (a new record header)
+_CROSSED = object()
 
 
 class _StreamBuf:
-    """Minimal buffered reader over a chunk iterator: supports
-    read_until(delimiter) and read_n(n) without concatenating the
-    whole stream."""
+    """Minimal buffered reader over a ``(member_start, bytes)`` chunk
+    iterator: supports read_until(delimiter) and read_n(n) without
+    concatenating the whole stream, tracking gzip-member-start offsets
+    so framing recovery can resync at the next member.
 
-    def __init__(self, chunks: Iterator[bytes]):
+    A WARC record never legitimately spans gzip members (ISO 28500
+    record-per-member layout — our reads within one member cross no
+    sync point), so a read that WOULD cross one means the current
+    record's bytes were cut short by a corrupt member: the read
+    returns ``_CROSSED`` with the buffer repositioned at the fresh
+    member, and the parser restarts there — later good records
+    survive a mid-member corruption instead of being dropped."""
+
+    def __init__(self, chunks: Iterator[tuple[bool, bytes]]):
         self._chunks = chunks
         self._buf = bytearray()
+        self._syncs: list[int] = []  # member-start offsets into _buf
         self._eof = False
 
     def _fill(self) -> bool:
         if self._eof:
             return False
         try:
-            self._buf.extend(next(self._chunks))
-            return True
+            start, data = next(self._chunks)
         except StopIteration:
             self._eof = True
             return False
+        if start:
+            self._syncs.append(len(self._buf))
+        self._buf.extend(data)
+        return True
 
-    def read_until(self, delim: bytes, max_bytes: int = 1 << 20) -> bytes | None:
-        """Bytes up to and including delim, or None at EOF / if the
-        delimiter doesn't appear within max_bytes (framing error)."""
+    def _consume(self, n: int) -> None:
+        del self._buf[:n]
+        self._syncs = [s - n for s in self._syncs if s >= n]
+
+    def _sync_within(self, end: int) -> int | None:
+        """First member-start offset strictly inside (0, end)."""
+        for s in self._syncs:
+            if 0 < s < end:
+                return s
+        return None
+
+    def read_until(self, delim: bytes, max_bytes: int = 1 << 20):
+        """Bytes up to and including delim; None at EOF / if the
+        delimiter doesn't appear within max_bytes (framing error);
+        ``_CROSSED`` if the span would cross a member boundary."""
         search_from = 0
         while True:
             i = self._buf.find(delim, search_from)
             if i >= 0:
                 end = i + len(delim)
+                s = self._sync_within(end)
+                if s is not None:
+                    self._consume(s)
+                    return _CROSSED
                 out = bytes(self._buf[:end])
-                del self._buf[:end]
+                self._consume(end)
                 return out
+            s = self._sync_within(len(self._buf))
+            if s is not None:
+                # delimiter missing within the record's own member
+                self._consume(s)
+                return _CROSSED
             if len(self._buf) > max_bytes:
                 return None
             search_from = max(0, len(self._buf) - len(delim) + 1)
             if not self._fill():
                 return None
 
-    def read_n(self, n: int) -> bytes | None:
+    def read_n(self, n: int):
         while len(self._buf) < n:
+            s = self._sync_within(len(self._buf))
+            if s is not None:  # payload cut short by a poison member
+                self._consume(s)
+                return _CROSSED
             if not self._fill():
                 return None
+        s = self._sync_within(n)
+        if s is not None:
+            self._consume(s)
+            return _CROSSED
         out = bytes(self._buf[:n])
-        del self._buf[:n]
+        self._consume(n)
         return out
 
     def skip_crlf(self) -> None:
@@ -143,9 +199,27 @@ class _StreamBuf:
                 self._fill()
                 continue
             if self._buf[:2] == b"\r\n":
-                del self._buf[:2]
+                self._consume(2)
                 continue
             return
+
+    def resync(self) -> bool:
+        """Framing lost mid-member (garbage header bytes): drop input
+        until the NEXT gzip member begins; True if repositioned, False
+        at EOF. On a single-member (plain ``.warc``) stream there is
+        no later sync point, so this drains to EOF — matching the old
+        stop-at-framing-loss behavior for non-gzip input."""
+        # callers have already consumed the garbage header, and a head
+        # spanning an interior sync comes back _CROSSED instead — so
+        # every remaining sync (offset 0 included) is a FRESH member
+        while True:
+            if self._syncs:
+                self._consume(self._syncs[0])
+                return True
+            if self._buf:  # all junk — discard, keep memory bounded
+                self._consume(len(self._buf))
+            if not self._fill():
+                return False
 
 
 def _parse_header_block(block: bytes) -> dict[str, str]:
@@ -197,16 +271,29 @@ def _records_from_chunks(
         head = buf.read_until(_CRLF2)
         if head is None:
             return
+        if head is _CROSSED:
+            continue  # repositioned at a fresh member's header
         if not head.startswith(b"WARC/"):
-            return  # framing lost: stop at the last well-formed record
+            # framing lost (e.g. partial bytes a poison member inflated
+            # before erroring): resync at the next gzip member and keep
+            # going — one corrupt member never drops the shard's tail
+            if buf.resync():
+                continue
+            return
         wh = _parse_header_block(head)
         try:
             length = int(wh.get("content-length", ""))
         except ValueError:
+            length = -1
+        if length < 0:  # absent/garbage/negative length = framing loss
+            if buf.resync():
+                continue
             return
         payload = buf.read_n(length)
         if payload is None:
             return  # truncated record: complete prefix already emitted
+        if payload is _CROSSED:
+            continue  # poison member cut the payload; parser is resynced
         rtype = wh.get("warc-type", "")
         if rtype not in keep_types:
             continue

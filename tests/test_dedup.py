@@ -210,3 +210,50 @@ def test_incremental_minhash_drops(ray_session, tmp_path):
     survivors = R.semi_join(new, dedup.incremental_minhash_drops(new, seen_bands),
                             on="doc_id", right_on="node", anti=True)
     assert sorted(r["doc_id"] for r in survivors.take_all()) == [11]
+
+
+def test_shingle_hashes_batch_matches_per_row():
+    """The one-md5-pass batch kernel must produce exactly the per-row
+    reference hashes (same md5 family, same unique+sort)."""
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "",
+        "one two",
+        "repeat repeat repeat repeat repeat",
+        "单 字 测试 词元 abc def",
+    ] + ["doc %d body word%d tail common suffix" % (i, i % 7) for i in range(60)]
+    batched = dedup.shingle_hashes_batch(texts, 3)
+    assert len(batched) == len(texts)
+    for t, got in zip(texts, batched):
+        assert np.array_equal(dedup.shingle_hashes(t, 3), got)
+
+
+def test_md5_fast_paths_match_hashlib():
+    """DuckDB md5 kernels (big-batch fast path) are bit-identical to
+    the hashlib reference loop (small-batch path) for both families."""
+    import hashlib
+
+    from knowledge_graph_ray.functions import hashing
+
+    vals = ["v%d éΔ" % i for i in range(300)]  # > _MD5_FAST_MIN
+    ref64 = np.array(
+        [
+            int.from_bytes(hashlib.md5(v.encode()).digest()[8:], "little")
+            for v in vals
+        ],
+        dtype=np.uint64,
+    )
+    assert np.array_equal(hashing.md5_hash64_array(vals), ref64)
+    assert np.array_equal(hashing.md5_hash64_array(vals[:5]), ref64[:5])
+    refhex = [hashlib.md5(v.encode()).hexdigest() for v in vals]
+    assert hashing.md5_hex_array(vals).to_pylist() == refhex
+    assert hashing.md5_hex_array(vals[:5]).to_pylist() == refhex[:5]
+    assert hashing.md5_hex_array(pa.array(vals)).to_pylist() == refhex
+
+
+def test_hyperplanes_cached_and_deterministic():
+    a = dedup._hyperplanes(12, 16, 42)
+    assert dedup._hyperplanes(12, 16, 42) is a
+    assert np.array_equal(
+        a, np.random.default_rng(42).standard_normal((12, 16))
+    )

@@ -134,3 +134,69 @@ def test_read_warc_feeds_flagship_extract(ray_session, tmp_path):
     a = sorted([(r["url"], r.get("text")) for r in paras_warc.take_all()])
     b = sorted([(r["url"], r.get("text")) for r in paras_synth.take_all()])
     assert a == b
+
+
+def test_mid_member_corruption_resyncs_at_next_member():
+    """ADVICE r4: a gzip member corrupted MID-stream inflates partial
+    record bytes before zlib errors; those bytes must not poison the
+    framing — every record in a later member still decodes."""
+    pages = synth.pages_table(10)
+    urls = pages.column("url").to_pylist()
+    members = [
+        warc_record(u, t, h, gzip_member=True)
+        for u, t, h in zip(
+            urls,
+            pages.column("warc_ts").to_pylist(),
+            pages.column("html").to_pylist(),
+        )
+    ]
+    poison = bytearray(members[4])
+    # flip bytes past the gzip header, inside the deflate stream, so
+    # some prefix typically inflates before the error/CRC failure
+    for off in range(len(poison) // 2, min(len(poison) // 2 + 16, len(poison))):
+        poison[off] ^= 0xFF
+    stream = b"".join(members[:4]) + bytes(poison) + b"".join(members[5:])
+    got = [r["url"] for r in iter_warc_records(stream)]
+    # all nine good records survive, in order; the poison record may
+    # only appear if its corruption missed the payload bytes entirely
+    assert [u for u in got if u != urls[4]] == urls[:4] + urls[5:]
+
+
+def test_mid_member_corruption_partial_payload_bytes():
+    """Deterministic partial-output construction: a member holding a
+    truncated record prefix (valid deflate, valid CRC, but cut mid-
+    payload) — framing breaks exactly as in the mid-stream case and
+    the parser must resync at the next member."""
+    pages = synth.pages_table(6)
+    urls = pages.column("url").to_pylist()
+    members = [
+        warc_record(u, t, h, gzip_member=True)
+        for u, t, h in zip(
+            urls,
+            pages.column("warc_ts").to_pylist(),
+            pages.column("html").to_pylist(),
+        )
+    ]
+    full = warc_record(urls[2], TS, b"<html>" + b"x" * 500 + b"</html>", gzip_member=False)
+    truncated = gzip.compress(full[: len(full) // 2])  # header + partial payload
+    stream = b"".join(members[:2]) + truncated + b"".join(members[3:])
+    got = [r["url"] for r in iter_warc_records(stream)]
+    assert got == urls[:2] + urls[3:]
+
+
+def test_negative_content_length_quarantined():
+    """ADVICE r4: Content-Length: -5 parses as int; it must be treated
+    as framing loss (resync), never as a negative buffer slice."""
+    bad = (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"WARC-Target-URI: http://bad/\r\n"
+        b"WARC-Date: 2026-01-02T03:04:05Z\r\n"
+        b"Content-Length: -5\r\n\r\n"
+    )
+    good = warc_record("http://ok/", TS, b"<p>ok</p>", gzip_member=True)
+    # gzip layout: resync recovers the next member
+    recs = list(iter_warc_records(gzip.compress(bad) + good))
+    assert [r["url"] for r in recs] == ["http://ok/"]
+    # plain layout: no later member boundary exists — clean stop, no mangling
+    recs = list(iter_warc_records(bad + warc_record("http://ok/", TS, b"<p>ok</p>", gzip_member=False)))
+    assert recs == []
