@@ -117,17 +117,31 @@ def _dedup_pairs(pairs: "Dataset", *, agg: str = "min", num_buckets: int = 16):
     return hash_bucket_agg(partial, ["a", "b"], combine, num_buckets=num_buckets)
 
 
-def _collision_only(banded: "Dataset", key: str, max_broadcast: int = 2_000_000):
+def _collision_only(
+    banded: "Dataset",
+    key: str,
+    max_broadcast: int = 2_000_000,
+    *,
+    materialize: bool = False,
+):
     """Pre-filter bucket rows to buckets holding >= 2 ids: a native
     count-aggregate finds collision buckets (fast C path), the small
     key set is broadcast, and only colliding rows reach the expensive
     per-group Python kernel. Mostly-singleton bucket spaces (the
     common case) shrink by orders of magnitude. Falls back to the
-    unfiltered dataset if the collision set itself is huge."""
+    unfiltered dataset if the collision set itself is huge.
+
+    ``materialize=True`` pins the banded table in the object store so
+    the filter pass reuses it instead of re-executing the banding
+    upstream (the default trade: at corpus scale bands × rows may not
+    fit, and re-hashing is cheap; flip it when the upstream is
+    expensive relative to memory — e.g. reading from cold storage)."""
     import ray
 
     from knowledge_graph_ray.pipelines.relational import hash_bucket_agg
 
+    if materialize:
+        banded = banded.materialize()
     # counts pass shuffles ONLY the 8-byte key column — never the
     # signature lists riding on the full banded rows (measured 4x the
     # shuffle volume at sf0.1); banded re-executes for the filter pass,
@@ -416,11 +430,16 @@ def minhash_pairs_from_bands(
     *,
     threshold: float = 0.7,
     group_cap: int = DEFAULT_GROUP_CAP,
+    materialize_bands: bool = False,
 ) -> Dataset:
     """Candidate pairs from an (already banded) signature table. The
     only wide op is groupby(band_key); pair dedup is a second small
-    shuffle."""
-    pairs = _collision_only(banded, "band_key").groupby("band_key").map_groups(
+    shuffle. ``materialize_bands`` checkpoints the banded table so the
+    collision-counts pass doesn't re-execute the banding upstream
+    (see _collision_only)."""
+    pairs = _collision_only(
+        banded, "band_key", materialize=materialize_bands
+    ).groupby("band_key").map_groups(
         lambda df: _bucket_pairs_minhash(df, threshold, group_cap),
         batch_format="pandas",
     )
@@ -439,6 +458,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.7,
     group_cap: int = DEFAULT_GROUP_CAP,
     seed: int = 42,
+    materialize_bands: bool = False,
 ) -> Dataset:
     """Near-dup candidate pairs via MinHash + LSH banding
     (band → collision pre-filter → bucket kernel, composed from
@@ -452,7 +472,12 @@ def minhash_lsh_pairs(
         shingle_k=shingle_k,
         seed=seed,
     )
-    return minhash_pairs_from_bands(banded, threshold=threshold, group_cap=group_cap)
+    return minhash_pairs_from_bands(
+        banded,
+        threshold=threshold,
+        group_cap=group_cap,
+        materialize_bands=materialize_bands,
+    )
 
 
 def incremental_minhash_drops(

@@ -27,8 +27,6 @@ by skipping finished shards; the ingested corpus is append-only):
 
 from __future__ import annotations
 
-import os
-
 import pyarrow as pa
 
 import ray.data as rd
@@ -43,6 +41,7 @@ from knowledge_graph_ray.functions.extract import extract_batch
 from knowledge_graph_ray.functions.hashing import md5_hash64_array, md5_hex_array
 from knowledge_graph_ray.pipelines.relational import semi_join
 from knowledge_graph_ray.sources.warc import read_warc
+from knowledge_graph_ray.state import fsio
 
 DOC_COLS = ["doc_id", "url", "warc_ts", "text", "lang", "text_key"]
 
@@ -97,31 +96,38 @@ def ingest_increment(
     n_hashes: int = 64,
     bands: int = 16,
     shingle_k: int = 3,
+    filesystem=None,
 ) -> dict:
     """Fold one crawl shard into the corpus. Returns a manifest dict;
-    re-running a finished tag is a no-op (resume semantics)."""
-    docs_dir = os.path.join(corpus_dir, "docs", f"shard={tag}")
-    bands_dir = os.path.join(corpus_dir, "bands", f"shard={tag}")
-    marker = os.path.join(docs_dir, "_DONE")
-    if os.path.exists(marker):
+    re-running a finished tag is a no-op (resume semantics).
+
+    ``corpus_dir`` may be a URI (``s3://…``) or pair with an explicit
+    ``filesystem=`` — all marker/state IO goes through pyarrow.fs
+    (state.fsio), so the append loop runs against object stores.
+    ``shard_paths`` resolve independently via sources.warc."""
+    fsys, root = fsio.resolve_fs(corpus_dir, filesystem)
+    docs_dir = fsio.join(root, "docs", f"shard={tag}")
+    bands_dir = fsio.join(root, "bands", f"shard={tag}")
+    marker = fsio.join(docs_dir, "_DONE")
+    if fsio.exists(fsys, marker):
         return {"tag": tag, "skipped": True, "docs_dir": docs_dir}
     # clear half-written partitions: write_parquet APPENDs (uuid file
     # names), so a crashed attempt without its marker would double rows
-    import shutil
-
-    shutil.rmtree(docs_dir, ignore_errors=True)
-    shutil.rmtree(bands_dir, ignore_errors=True)
+    fsio.rmtree(fsys, docs_dir)
+    fsio.rmtree(fsys, bands_dir)
 
     # materialize ONCE: the shard feeds exact dedup, the survivor
     # rejoin, the band index and the final write — shard-sized
     # (bounded per increment), plasma-backed, spillable
     full = _dedupe_ids(_docs_from_warc(shard_paths, tag)).materialize()
 
-    seen_shards = _finished_shards(corpus_dir)
-    seen_doc_files = _parquet_files(corpus_dir, "docs", seen_shards)
+    seen_shards = _finished_shards(fsys, root)
+    seen_doc_files = _parquet_files(fsys, root, "docs", seen_shards)
     if seen_doc_files:
         # 32 bytes/doc, never the ingested text column (see _docs_from_warc)
-        seen_keys = rd.read_parquet(seen_doc_files, columns=["text_key"])
+        seen_keys = rd.read_parquet(
+            seen_doc_files, columns=["text_key"], filesystem=fsys
+        )
         kept = incremental_exact_dedup(full, seen_keys, text_col="text_key")
     else:
         kept = incremental_exact_dedup(
@@ -141,9 +147,9 @@ def ingest_increment(
         # band the shard ONCE; drops reuses it and the survivors' slice
         # is what gets persisted — text is never shingled twice
         new_bands = minhash_band_index(new_docs, **kw).materialize()
-        seen_band_files = _parquet_files(corpus_dir, "bands", seen_shards)
+        seen_band_files = _parquet_files(fsys, root, "bands", seen_shards)
         if seen_band_files:
-            seen_bands = rd.read_parquet(seen_band_files)
+            seen_bands = rd.read_parquet(seen_band_files, filesystem=fsys)
         else:
             # first shard: empty seen side with the band schema, so
             # WITHIN-shard near-dups still collapse (transitive min-id)
@@ -194,15 +200,15 @@ def ingest_increment(
             return batch.filter(pa.array(mask, pa.bool_()))
 
         new_bands.map_batches(keep_band, batch_format="pyarrow").write_parquet(
-            bands_dir
+            bands_dir, filesystem=fsys
         )
 
-    new_docs.write_parquet(docs_dir)
+    new_docs.write_parquet(docs_dir, filesystem=fsys)
     n_new = new_docs.count()
     # an increment that contributes nothing is still FINISHED — the
     # empty write creates no files, so make the marker's home ourselves
-    os.makedirs(docs_dir, exist_ok=True)
-    open(marker, "w").write("ok")
+    fsio.makedirs(fsys, docs_dir)
+    fsio.write_text(fsys, marker, "ok")
     return {
         "tag": tag,
         "skipped": False,
@@ -227,36 +233,34 @@ def _dedupe_ids(docs: Dataset) -> Dataset:
     return hash_bucket_agg(docs, ["doc_id"], first_per_id, num_buckets=32)
 
 
-def _parquet_files(corpus_dir: str, sub: str, shards: list[str]) -> list[str]:
+def _parquet_files(fsys, root: str, sub: str, shards: list[str]) -> list[str]:
     """Explicit .parquet file lists — read_parquet expands a single
     directory but not a LIST of directories, and the _DONE markers
     must never reach the reader. An empty-contribution shard simply
     adds no files."""
     out: list[str] = []
     for s in shards:
-        d = os.path.join(corpus_dir, sub, s)
-        if os.path.isdir(d):
-            out.extend(
-                os.path.join(d, f) for f in sorted(os.listdir(d)) if f.endswith(".parquet")
-            )
+        d = fsio.join(root, sub, s)
+        out.extend(
+            fsio.join(d, f) for f in fsio.listdir(fsys, d, suffix=".parquet")
+        )
     return out
 
 
-def _finished_shards(corpus_dir: str) -> list[str]:
-    root = os.path.join(corpus_dir, "docs")
-    if not os.path.isdir(root):
-        return []
+def _finished_shards(fsys, root: str) -> list[str]:
+    docs = fsio.join(root, "docs")
     return sorted(
         d
-        for d in os.listdir(root)
+        for d in fsio.listdir(fsys, docs)
         if d.startswith("shard=")
-        and os.path.exists(os.path.join(root, d, "_DONE"))
+        and fsio.exists(fsys, fsio.join(docs, d, "_DONE"))
     )
 
 
-def corpus_docs(corpus_dir: str) -> Dataset:
+def corpus_docs(corpus_dir: str, *, filesystem=None) -> Dataset:
     """The ingested corpus as one Dataset (all finished shards)."""
-    files = _parquet_files(corpus_dir, "docs", _finished_shards(corpus_dir))
+    fsys, root = fsio.resolve_fs(corpus_dir, filesystem)
+    files = _parquet_files(fsys, root, "docs", _finished_shards(fsys, root))
     if not files:
         raise FileNotFoundError(f"no finished shards under {corpus_dir}")
-    return rd.read_parquet(files)
+    return rd.read_parquet(files, filesystem=fsys)

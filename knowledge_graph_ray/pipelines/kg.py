@@ -251,12 +251,15 @@ def build_kg(
     paras = extract_and_segment(pages)
     if checkpoint_dir is not None:
         # clear before writing: write_parquet APPENDs (uuid filenames),
-        # so a rerun with the same dir would double the corpus
-        import shutil
+        # so a rerun with the same dir would double the corpus.
+        # pyarrow.fs throughout (state.fsio) — checkpoint dirs may live
+        # on an object store
+        from knowledge_graph_ray.state import fsio
 
-        shutil.rmtree(checkpoint_dir, ignore_errors=True)
-        paras.write_parquet(checkpoint_dir)
-        paras = rd.read_parquet(checkpoint_dir)
+        ck_fs, ck_root = fsio.resolve_fs(checkpoint_dir)
+        fsio.rmtree(ck_fs, ck_root)
+        paras.write_parquet(ck_root, filesystem=ck_fs)
+        paras = rd.read_parquet(ck_root, filesystem=ck_fs)
 
     refs["canonical_map"] = ray.put({})
     linked = triple_stage(
@@ -494,13 +497,17 @@ def run_kg_resumable(
         )
         return dedup_triples(linked)  # per-shard local dedup
 
+    from knowledge_graph_ray.state import fsio
+
+    out_fs, out_root = fsio.resolve_fs(out_dir)
     shards = ckpt.shard_input_files(pages_dir, n_shards)
-    results = ckpt.run_sharded(shards, build, os.path.join(out_dir, "stage_triples"),
-                               resume=resume)
+    results = ckpt.run_sharded(
+        shards, build, fsio.join(out_dir, "stage_triples"), resume=resume
+    )
 
     # global merge: shard-local distinct rows → one more keyed merge
     merged = hash_bucket_agg(
-        ckpt.read_all_shards(os.path.join(out_dir, "stage_triples")),
+        ckpt.read_all_shards(fsio.join(out_dir, "stage_triples")),
         ["subj", "pred", "obj"],
         lambda df: df.groupby(
             ["subj", "pred", "obj", "obj_is_literal"], as_index=False, sort=False
@@ -508,11 +515,9 @@ def run_kg_resumable(
         num_buckets=max(16, n_shards),
     )
     final = canonicalize_nil_surfaces(merged.materialize()).sort("subj")
-    final_dir = os.path.join(out_dir, "final")
-    import shutil
-
-    shutil.rmtree(final_dir, ignore_errors=True)
-    final.write_parquet(final_dir)
+    final_dir = fsio.join(out_root, "final")
+    fsio.rmtree(out_fs, final_dir)
+    final.write_parquet(final_dir, filesystem=out_fs)
     report = ckpt.run_report(results)
     report["final_dir"] = final_dir
     return report

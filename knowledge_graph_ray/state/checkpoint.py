@@ -17,56 +17,62 @@ shard directories) is identical.
 
 This composes with any Dataset-in → Dataset-out stage function; the
 flagship uses it via pipelines.kg.run_kg_resumable.
+
+All state IO goes through ``state.fsio`` (pyarrow.fs), so the
+resumable paths run unchanged against S3/GCS: pass ``filesystem=`` or
+URI paths (``s3://bucket/out``). Default remains the local filesystem.
 """
 
 from __future__ import annotations
 
 import hashlib
 import json
-import os
-import shutil
 import time
 from collections.abc import Callable
 
 import ray.data as rd
 from ray.data import Dataset
 
+from knowledge_graph_ray.state import fsio
 
-def fingerprint_files(paths: list[str]) -> str:
+
+def fingerprint_files(paths: list[str], *, filesystem=None) -> str:
     h = hashlib.md5()
     for p in sorted(paths):
+        fsys, fp = fsio.resolve_fs(p, filesystem)
         h.update(p.encode())
-        h.update(str(os.path.getsize(p)).encode())
+        h.update(str(fsio.file_size(fsys, fp)).encode())
     return h.hexdigest()
 
 
-def shard_input_files(input_dir: str, n_shards: int) -> dict[str, list[str]]:
+def shard_input_files(
+    input_dir: str, n_shards: int, *, filesystem=None
+) -> dict[str, list[str]]:
     """Deterministically group the parquet files of a directory into
     n_shards named shards (round-robin over the sorted listing)."""
-    files = sorted(
-        os.path.join(input_dir, f)
-        for f in os.listdir(input_dir)
-        if f.endswith(".parquet")
-    )
-    shards: dict[str, list[str]] = {f"{i:04d}": [] for i in range(min(n_shards, len(files)))}
+    fsys, root = fsio.resolve_fs(input_dir, filesystem)
+    files = [
+        fsio.join(input_dir, f)
+        for f in fsio.listdir(fsys, root, suffix=".parquet")
+    ]
+    shards: dict[str, list[str]] = {
+        f"{i:04d}": [] for i in range(min(n_shards, len(files)))
+    }
     for i, f in enumerate(files):
         shards[f"{i % len(shards):04d}"].append(f)
     return shards
 
 
 def _manifest_path(out_dir: str, shard: str) -> str:
-    return os.path.join(out_dir, "_manifest", f"{shard}.json")
+    return fsio.join(out_dir, "_manifest", f"{shard}.json")
 
 
-def load_manifests(out_dir: str) -> dict[str, dict]:
-    mdir = os.path.join(out_dir, "_manifest")
-    if not os.path.isdir(mdir):
-        return {}
+def load_manifests(out_dir: str, *, filesystem=None) -> dict[str, dict]:
+    fsys, root = fsio.resolve_fs(out_dir, filesystem)
+    mdir = fsio.join(root, "_manifest")
     out = {}
-    for f in os.listdir(mdir):
-        if f.endswith(".json"):
-            with open(os.path.join(mdir, f)) as fh:
-                out[f[:-5]] = json.load(fh)
+    for f in fsio.listdir(fsys, mdir, suffix=".json"):
+        out[f[:-5]] = json.loads(fsio.read_text(fsys, fsio.join(mdir, f)))
     return out
 
 
@@ -76,6 +82,7 @@ def run_sharded(
     out_dir: str,
     *,
     resume: bool = True,
+    filesystem=None,
 ) -> dict[str, dict]:
     """Run ``build`` over each input shard, checkpointing per shard.
 
@@ -83,11 +90,12 @@ def run_sharded(
     Raises whatever ``build``/execution raises — already-finished
     shards keep their checkpoints, so rerunning after a crash resumes.
     """
-    os.makedirs(os.path.join(out_dir, "_manifest"), exist_ok=True)
-    manifests = load_manifests(out_dir) if resume else {}
+    fsys, root = fsio.resolve_fs(out_dir, filesystem)
+    fsio.makedirs(fsys, fsio.join(root, "_manifest"))
+    manifests = load_manifests(out_dir, filesystem=filesystem) if resume else {}
     results: dict[str, dict] = {}
     for shard, files in sorted(shards.items()):
-        fp = fingerprint_files(files)
+        fp = fingerprint_files(files, filesystem=filesystem)
         prev = manifests.get(shard)
         if prev is not None and prev.get("input_fingerprint") == fp and prev.get(
             "status"
@@ -95,17 +103,21 @@ def run_sharded(
             results[shard] = {**prev, "skipped": True}
             continue
         t0 = time.perf_counter()
-        ds_in = rd.read_parquet(files)
+        ds_in = (
+            rd.read_parquet(files, filesystem=filesystem)
+            if filesystem is not None
+            else rd.read_parquet(files)
+        )
         rows_in = ds_in.count()
         out_ds = build(ds_in)
-        shard_dir = os.path.join(out_dir, f"shard={shard}")
+        shard_dir = fsio.join(root, f"shard={shard}")
         # A rerun (crash mid-write, or input-fingerprint invalidation)
         # must not APPEND to a stale shard dir: Ray's write_parquet
         # uses per-run uuid filenames, so old files would survive and
         # read_all_shards would silently union old+new rows.
-        shutil.rmtree(shard_dir, ignore_errors=True)
-        out_ds.write_parquet(shard_dir)
-        rows_out = rd.read_parquet(shard_dir).count()
+        fsio.rmtree(fsys, shard_dir)
+        out_ds.write_parquet(shard_dir, filesystem=fsys)
+        rows_out = rd.read_parquet(shard_dir, filesystem=fsys).count()
         manifest = {
             "shard": shard,
             "status": "done",
@@ -115,25 +127,24 @@ def run_sharded(
             "rows_out": rows_out,
             "wall_s": round(time.perf_counter() - t0, 3),
         }
-        tmp = _manifest_path(out_dir, shard) + ".tmp"
-        with open(tmp, "w") as fh:
-            json.dump(manifest, fh)
-        os.replace(tmp, _manifest_path(out_dir, shard))  # atomic commit
+        fsio.write_text_atomic(
+            fsys, _manifest_path(root, shard), json.dumps(manifest)
+        )
         results[shard] = {**manifest, "skipped": False}
     return results
 
 
-def read_all_shards(out_dir: str) -> Dataset:
+def read_all_shards(out_dir: str, *, filesystem=None) -> Dataset:
+    fsys, root = fsio.resolve_fs(out_dir, filesystem)
     files = []
-    for d in sorted(os.listdir(out_dir)):
+    for d in fsio.listdir(fsys, root):
         if d.startswith("shard="):
-            full = os.path.join(out_dir, d)
+            full = fsio.join(root, d)
             files.extend(
-                os.path.join(full, f)
-                for f in sorted(os.listdir(full))
-                if f.endswith(".parquet")
+                fsio.join(full, f)
+                for f in fsio.listdir(fsys, full, suffix=".parquet")
             )
-    return rd.read_parquet(files)
+    return rd.read_parquet(files, filesystem=fsys)
 
 
 def run_report(results: dict[str, dict]) -> dict:

@@ -257,3 +257,22 @@ def test_hyperplanes_cached_and_deterministic():
     assert np.array_equal(
         a, np.random.default_rng(42).standard_normal((12, 16))
     )
+
+
+def test_minhash_materialize_bands_same_pairs(ray_session):
+    """The banded-table checkpoint knob (VERDICT r4 item 7) changes
+    execution (bands pinned, upstream runs once), never results."""
+    texts = [
+        "alpha beta gamma delta epsilon zeta eta theta",
+        "alpha beta gamma delta epsilon zeta eta iota",
+        "completely different document body here",
+    ] * 3
+    ds = docs_ds(texts)
+    base = dedup.minhash_lsh_pairs(ds, threshold=0.5).to_pandas()
+    mat = dedup.minhash_lsh_pairs(
+        docs_ds(texts), threshold=0.5, materialize_bands=True
+    ).to_pandas()
+    key = ["a", "b", "score"]
+    assert base.sort_values(key).reset_index(drop=True).equals(
+        mat.sort_values(key).reset_index(drop=True)
+    )

@@ -119,3 +119,30 @@ def test_ingest_recapture_and_within_shard_near_dup(ray_session, tmp_path):
     assert (base[:-5] + "dag.") not in texts
     ids = [r["doc_id"] for r in docs]
     assert len(ids) == len(set(ids))
+
+
+def test_ingest_nonlocal_filesystem(ray_session, tmp_path):
+    """Corpus state on a non-local pyarrow filesystem handle
+    (SubTreeFileSystem as the object-store stand-in): markers, band
+    index, docs and resume all flow through fsio (VERDICT r4 item 3).
+    WARC shard paths stay local on purpose — they resolve via
+    sources.warc, independent of the corpus store."""
+    from pyarrow import fs as pafs
+
+    sub = pafs.SubTreeFileSystem(str(tmp_path), pafs.LocalFileSystem())
+    texts = [b * 3 for b in BODIES]
+    s1 = _shard(
+        tmp_path, "a.warc.gz", [(f"http://x/{i}", texts[i]) for i in range(3)]
+    )
+    m1 = ingest_increment([s1], "corpus", "a", filesystem=sub)
+    assert m1["n_new_docs"] == 3
+    s2 = _shard(
+        tmp_path,
+        "b.warc.gz",
+        [("http://y/exact", texts[0]), ("http://y/fresh", texts[4])],
+    )
+    m2 = ingest_increment([s2], "corpus", "b", filesystem=sub)
+    assert m2["n_new_docs"] == 1  # exact dup dropped vs store-side state
+    assert corpus_docs("corpus", filesystem=sub).count() == 4
+    m3 = ingest_increment([s2], "corpus", "b", filesystem=sub)
+    assert m3["skipped"] is True

@@ -75,3 +75,23 @@ def test_partition_count_invariance(ray_session):
         )
         sets.append({(r["subj"], r["pred"], r["obj"], r["support"]) for r in ds.take_all()})
     assert sets[0] == sets[1]
+
+
+def test_checkpoint_dir_same_triples(triples_result, tmp_path, ray_session):
+    """build_kg's paragraph checkpoint (fsio-routed since r5) changes
+    execution — paras persisted and re-read — never the triples."""
+    pages = rd.from_arrow(synth.pages_table(N_PAGES))
+    ds = build_kg(
+        pages,
+        synth.entities_table(),
+        synth.aliases_table(),
+        locations=synth.CITIES,
+        concurrency=1,
+        batch_size=64,
+        checkpoint_dir=str(tmp_path / "paras"),
+    )
+    got = {(r["subj"], r["pred"], r["obj"], r["support"]) for r in ds.take_all()}
+    base = {
+        (r["subj"], r["pred"], r["obj"], r["support"]) for r in triples_result
+    }
+    assert got == base
