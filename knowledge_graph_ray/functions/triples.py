@@ -210,28 +210,44 @@ def filter_pred_obj(
     pred: str,
     obj_in: list[str] | None = None,
     obj_between: tuple[str, str] | None = None,
+    obj_gt: str | None = None,
+    obj_lt: str | None = None,
+    obj_regex: str | None = None,
 ) -> Dataset:
-    """One SPARQL-style triple pattern → matching rows."""
+    """One SPARQL-style triple pattern → matching rows. Beyond the
+    equality/IN/range shapes, FILTER expressions (rdf_graph.ipynb
+    cells 43-47 family) compose conjunctively on the object value:
+    strict ``obj_gt``/``obj_lt`` string comparisons and ``obj_regex``
+    (Arrow's RE2 — the same engine as DuckDB's regexp_matches, so SQL
+    twins can share the literal pattern string)."""
     import pyarrow.compute as pc
 
     ds = triples.filter(expr=f"pred == '{pred}'")
+    preds = []
     if obj_in is not None:
         vset = pa.array(sorted(set(obj_in)), pa.string())
-        ds = ds.map_batches(
-            lambda b: b.filter(pc.is_in(b.column("obj"), value_set=vset)),
-            batch_format="pyarrow",
-        )
+        preds.append(lambda c: pc.is_in(c, value_set=vset))
     if obj_between is not None:
         lo, hi = obj_between
-        ds = ds.map_batches(
-            lambda b: b.filter(
-                pc.and_(
-                    pc.greater_equal(b.column("obj"), lo),
-                    pc.less_equal(b.column("obj"), hi),
-                )
-            ),
-            batch_format="pyarrow",
+        preds.append(
+            lambda c: pc.and_(pc.greater_equal(c, lo), pc.less_equal(c, hi))
         )
+    if obj_gt is not None:
+        preds.append(lambda c: pc.greater(c, obj_gt))
+    if obj_lt is not None:
+        preds.append(lambda c: pc.less(c, obj_lt))
+    if obj_regex is not None:
+        preds.append(lambda c: pc.match_substring_regex(c, obj_regex))
+    if preds:
+
+        def apply(b: pa.Table) -> pa.Table:
+            col = b.column("obj")
+            mask = preds[0](col)
+            for p in preds[1:]:
+                mask = pc.and_(mask, p(col))
+            return b.filter(mask)
+
+        ds = ds.map_batches(apply, batch_format="pyarrow")
     return ds
 
 
@@ -283,9 +299,46 @@ def subjects_matching(
     return hash_bucket_agg(slim, ["subj"], conj, num_buckets=num_partitions)
 
 
+def subjects_union(
+    triples: Dataset,
+    branches: list[list[dict]],
+    *,
+    num_partitions: int = 8,
+) -> Dataset:
+    """SPARQL UNION (rdf_graph.ipynb cells 43-47: SPARQLBurger
+    alternation blocks): distinct subjects satisfying ANY branch,
+    where each branch is a conjunctive pattern list in
+    ``subjects_matching`` form (FILTER expressions ride on the
+    patterns via ``filter_pred_obj``'s obj_* kwargs).
+
+    Execution: single-pattern branches are plain pattern filters
+    (no shuffle of their own); multi-pattern branches run the
+    tag-union-count conjunction; all branch outputs union into ONE
+    bucketed distinct. The triple table is consumed once per branch
+    pattern — callers with an expensive upstream should materialize
+    it first (``chain_subjects`` already does)."""
+    assert branches, "need at least one UNION branch"
+    parts = []
+    for br in branches:
+        if len(br) == 1:
+            parts.append(filter_pred_obj(triples, **br[0]).select_columns(["subj"]))
+        else:
+            parts.append(subjects_matching(triples, br, num_partitions=num_partitions))
+    union = parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]
+
+    from knowledge_graph_ray.pipelines.relational import hash_bucket_agg
+
+    slim = union.map_batches(
+        lambda df: df.drop_duplicates(), batch_format="pandas", batch_size=None
+    )
+    return hash_bucket_agg(
+        slim, ["subj"], lambda df: df.drop_duplicates(), num_buckets=num_partitions
+    )
+
+
 def chain_subjects(
     triples: Dataset,
-    start: list[dict],
+    start: list[dict] | dict,
     hops: list[dict],
     *,
     num_partitions: int = 8,
@@ -298,6 +351,13 @@ def chain_subjects(
     satisfy the hop's own conjunctive patterns. Returns the DISTINCT
     bindings of the final variable (one column ``subj``).
 
+    Alternation (SPARQL UNION) composes at either position:
+    ``start={'union': [branch, ...]}`` seeds from subjects matching
+    ANY branch, and a hop may carry ``'union': [branch, ...]`` instead
+    of (or alongside) ``'patterns'`` — the hop's bindings then must
+    satisfy at least one branch (each branch a conjunctive pattern
+    list, FILTER expressions via filter_pred_obj's obj_* kwargs).
+
     Execution (partitioning assumption documented): each hop is one
     size-guarded semi-join of the pred-filtered edge table against the
     current binding set plus one bucketed distinct — bindings stay a
@@ -309,11 +369,14 @@ def chain_subjects(
     # pin it or every consumer re-executes the whole emission pipeline
     # (object-store-backed, spillable; a no-op if already materialized)
     triples = triples.materialize()
-    cur = (
-        subjects_matching(triples, start, num_partitions=num_partitions)
-        if start
-        else None
-    )
+    if isinstance(start, dict):
+        cur = subjects_union(
+            triples, start["union"], num_partitions=num_partitions
+        )
+    elif start:
+        cur = subjects_matching(triples, start, num_partitions=num_partitions)
+    else:
+        cur = None
     for hop in hops:
         edges = triples.filter(expr=f"pred == '{hop['pred']}'")
         if cur is not None:
@@ -337,6 +400,9 @@ def chain_subjects(
             cur = semi_join(cur, ok, on="subj", num_partitions=num_partitions)
         elif pats:
             ok = subjects_matching(triples, pats, num_partitions=num_partitions)
+            cur = semi_join(cur, ok, on="subj", num_partitions=num_partitions)
+        if hop.get("union"):
+            ok = subjects_union(triples, hop["union"], num_partitions=num_partitions)
             cur = semi_join(cur, ok, on="subj", num_partitions=num_partitions)
     if cur is None:
         raise ValueError("chain needs start patterns or at least one hop")

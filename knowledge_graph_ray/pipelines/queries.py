@@ -524,6 +524,67 @@ WHERE c_mktsegment = 'BUILDING'
 """
 
 
+def q_graph_union_filter(sf_dir: str) -> Dataset:
+    """G3 UNION + FILTER expressions (VERDICT r4 item 6; the
+    rdf_graph.ipynb cells 43-47 SPARQLBurger UNION shape): order URIs
+    matching EITHER branch —
+
+        { ?o o_orderdate ?d . ?o o_orderstatus 'F' .
+          FILTER regex(?d, '^1995-0[1-3]') }
+        UNION
+        { ?o o_orderpriority '1-URGENT' . ?o o_orderdate ?d .
+          FILTER (?d > '1996-06-15 00:00:00' && ?d < '1997-01-01 00:00:00') }
+
+    The regex runs on Arrow's RE2 — the same engine as the DuckDB
+    twin, so the literal pattern string is shared. The date
+    comparisons are string comparisons on the rendered literal (ISO
+    timestamps order lexicographically). Boundary literals are FULL
+    'YYYY-MM-DD HH:MM:SS' strings on purpose: DuckDB's optimizer
+    rewrites CAST(ts AS VARCHAR) > lit on a table column into a
+    timestamp comparison, which only agrees with string semantics
+    when the literal is full-length (a bare '1996-06-15' boundary
+    diverged on the midnight row — measured, not theoretical)."""
+    triples_ds = (
+        _read(sf_dir, "orders")
+        .map_batches(
+            lambda b: T.node_triples(b, id_col="o_orderkey", node_type="order"),
+            batch_format="pyarrow",
+        )
+        .materialize()  # consumed once per branch pattern (4 here)
+    )
+    return T.subjects_union(
+        triples_ds,
+        [
+            [
+                {"pred": "o_orderdate", "obj_regex": "^1995-0[1-3]"},
+                {"pred": "o_orderstatus", "obj_in": ["F"]},
+            ],
+            [
+                {"pred": "o_orderpriority", "obj_in": ["1-URGENT"]},
+                {
+                    "pred": "o_orderdate",
+                    "obj_gt": "1996-06-15 00:00:00",
+                    "obj_lt": "1997-01-01 00:00:00",
+                },
+            ],
+        ],
+    )
+
+
+# regex literal shared with the Ray side (both RE2); UNION (not UNION
+# ALL) is the twin of the bucketed distinct
+SQL_GRAPH_UNION_FILTER = """
+SELECT 'order:' || o_orderkey AS subj FROM orders
+WHERE regexp_matches(CAST(o_orderdate AS VARCHAR), '^1995-0[1-3]')
+  AND o_orderstatus = 'F'
+UNION
+SELECT 'order:' || o_orderkey FROM orders
+WHERE o_orderpriority = '1-URGENT'
+  AND CAST(o_orderdate AS VARCHAR) > '1996-06-15 00:00:00'
+  AND CAST(o_orderdate AS VARCHAR) < '1997-01-01 00:00:00'
+"""
+
+
 def q_docs_exact_dedup(sf_dir: str) -> Dataset:
     return dedup.exact_dedup(_read(sf_dir, "documents"))
 
@@ -2411,7 +2472,10 @@ FROM t GROUP BY lang
 # tests/test_oracle_parity.py): the four media/pdf rows-only entries,
 # semantic_paragraphs, udf_rephrase, alias_map_assembly, and four
 # oracle rows whose family keeps ≥2 in-window twins (simhash_pairs,
-# transitive_dedup, rolling_sum, repetition).
+# transitive_dedup, rolling_sum, repetition). Round-5 rotation: NEW
+# graph_union_filter enters (UNION + FILTER expressions, VERDICT r4
+# item 6); graph_2hop (r4-green, chain builder still attested via
+# graph_3hop_items) cycles out, pytest-gated post-window.
 QUERIES = {
     "agg_pricing_summary": q_agg_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
@@ -2422,9 +2486,12 @@ QUERIES = {
     "customer_node_triples": q_customer_node_triples,
     "order_edge_triples": q_order_edge_triples,
     "subjects_1995_filled": q_subjects_1995_filled,
-    "graph_2hop": q_graph_2hop,
     "graph_3hop_items": q_graph_3hop_items,
     "graph_optional_orders": q_graph_optional_orders,
+    # round-5 addition (VERDICT r4 item 6): UNION + FILTER expressions;
+    # graph_2hop cycles out to make room (its chain builder is fully
+    # exercised by graph_3hop_items; still pytest-gated post-window)
+    "graph_union_filter": q_graph_union_filter,
     "docs_exact_dedup": q_docs_exact_dedup,
     "docs_incremental_dedup": q_docs_incremental_dedup,
     "docs_token_counts": q_docs_token_counts,
@@ -2470,6 +2537,7 @@ QUERIES = {
     # r4 demotions to fit the round-4 additions: each family keeps a
     # pre-cap row (asof stays for range; minhash/embedding stay for
     # jaccard) and every demoted oracle remains pytest-gated
+    "graph_2hop": q_graph_2hop,
     "events_range_clicks": q_events_range_clicks,
     "docs_ngram_jaccard_pairs": q_docs_ngram_jaccard_pairs,
     "docs_sample_md5": q_docs_sample_md5,
@@ -2503,6 +2571,7 @@ ORACLE_SQL = {
     "graph_2hop": SQL_GRAPH_2HOP,
     "graph_3hop_items": SQL_GRAPH_3HOP_ITEMS,
     "graph_optional_orders": SQL_GRAPH_OPTIONAL_ORDERS,
+    "graph_union_filter": SQL_GRAPH_UNION_FILTER,
     "docs_exact_dedup": SQL_DOCS_EXACT_DEDUP,
     "docs_incremental_dedup": SQL_DOCS_INCREMENTAL_DEDUP,
     "docs_token_counts": SQL_DOCS_TOKEN_COUNTS,

@@ -228,3 +228,79 @@ def test_hash_join_side_smaller_than_partition_count(ray_session):
     )
     out = R.hash_join(left, right, on="k", num_partitions=16).take_all()
     assert sorted((r["k"], r["l"], r["r"]) for r in out) == [(2, 20, 7), (3, 30, 8)]
+
+
+def _g3_union_triples():
+    rows = [
+        ("case:1", "hasActor", "actor:9"),
+        ("case:1", "date", "2024-01-05"),
+        ("case:1", "status", "open"),
+        ("case:2", "hasActor", "actor:9"),
+        ("case:2", "date", "2025-06-01"),
+        ("case:2", "status", "closed"),
+        ("case:3", "hasActor", "actor:7"),
+        ("case:3", "date", "2024-02-02"),
+        ("case:3", "status", "closed"),
+        ("case:4", "hasActor", "actor:7"),
+        ("case:4", "date", "2023-09-09"),
+        ("case:4", "status", "open"),
+    ]
+    return rd.from_arrow(
+        pa.table(
+            {
+                "subj": pa.array([r[0] for r in rows]),
+                "pred": pa.array([r[1] for r in rows]),
+                "obj": pa.array([r[2] for r in rows]),
+            }
+        )
+    )
+
+
+def test_filter_pred_obj_expressions(ray_session):
+    """FILTER shapes (r5): strict gt/lt string compare + RE2 regex."""
+    ds = _g3_union_triples()
+    gt = T.filter_pred_obj(ds, pred="date", obj_gt="2024-01-05").take_all()
+    assert {r["subj"] for r in gt} == {"case:2", "case:3"}  # strict >
+    lt = T.filter_pred_obj(ds, pred="date", obj_lt="2024-01-05").take_all()
+    assert {r["subj"] for r in lt} == {"case:4"}
+    rx = T.filter_pred_obj(ds, pred="date", obj_regex="^202[34]-0[12]").take_all()
+    assert {r["subj"] for r in rx} == {"case:1", "case:3"}
+
+
+def test_subjects_union_branches(ray_session):
+    """SPARQL UNION: ANY-branch semantics, conjunction inside a
+    branch, distinct across branches (case:3 matches both)."""
+    ds = _g3_union_triples()
+    out = T.subjects_union(
+        ds,
+        [
+            # open cases dated 2024+ (conjunctive branch)
+            [
+                {"pred": "status", "obj_in": ["closed"]},
+                {"pred": "date", "obj_regex": "^2024"},
+            ],
+            # OR any case of actor 7 (single-pattern branch)
+            [{"pred": "hasActor", "obj_in": ["actor:7"]}],
+        ],
+        num_partitions=2,
+    ).take_all()
+    assert sorted(r["subj"] for r in out) == ["case:3", "case:4"]
+
+
+def test_chain_subjects_union_start_and_hop(ray_session):
+    """Alternation composes into the chain at both positions."""
+    ds = _g3_union_triples()
+    # start via UNION dict: closed-2024 cases OR actor:7 cases,
+    # then hop to their actors
+    out = T.chain_subjects(
+        ds,
+        {"union": [
+            [{"pred": "status", "obj_in": ["closed"]},
+             {"pred": "date", "obj_regex": "^2024"}],
+            [{"pred": "date", "obj_gt": "2025-01-01"}],
+        ]},
+        [{"pred": "hasActor"}],
+        num_partitions=2,
+    ).take_all()
+    # case:3 (closed, 2024) -> actor:7; case:2 (date>2025) -> actor:9
+    assert sorted(r["subj"] for r in out) == ["actor:7", "actor:9"]
