@@ -10,12 +10,14 @@ Decode reality in this sandbox (no PIL / torchaudio / ffmpeg):
   formats with stdlib+numpy, each validated against real system
   files, and features are real signal statistics (RMS, ZCR, spectral
   centroid, luminance histograms).
-- MP4 needs an H.264 codec that is not
-  in the container: those payloads take the declared stub path —
-  deterministic fake metadata by default, ``strict=True`` raises
-  ``NotImplementedError`` at the decode call. The Ray-side plumbing
+- MP4/H.264 and non-WAV audio upgrade to REAL decode through a
+  capability-detected ffmpeg CLI hook (``ffmpeg="auto"`` probes PATH
+  once per actor; subprocess per payload, exercised in tests via a
+  PATH shim). Without an ffmpeg binary those payloads take the
+  declared stub path — deterministic fake metadata by default,
+  ``strict=True`` raises at the decode call. The Ray-side plumbing
   (schema, binary batches, once-per-actor setup, small-batch sizing,
-  frame-explode layout) is identical for both paths.
+  frame-explode layout) is identical for all paths.
 
 Schema conventions:
   media(media_id:int64, kind:string in {image,audio,video},
@@ -24,10 +26,16 @@ Schema conventions:
              or (sample_rate:int32, n_samples:int64, n_channels:int32) [audio]
   → features adds embedding: fixed_size_list<float32, dim>
   → frames   one row per sampled frame (video): (media_id, frame_idx,
-             payload)
+             payload, error) — error non-null marks a quarantined
+             video (frame_idx=-1, empty payload)
 """
 
 from __future__ import annotations
+
+import os
+import shutil
+import subprocess
+import tempfile
 
 import numpy as np
 import pyarrow as pa
@@ -36,6 +44,16 @@ from knowledge_graph_ray.functions import media as M
 from knowledge_graph_ray.functions.hashing import stable_digest
 
 FEATURE_DIM = 32
+FFMPEG_TIMEOUT_S = 120  # per payload; a hung decode must not wedge the actor
+
+
+def _resolve_ffmpeg(ffmpeg: str | None) -> str | None:
+    """Capability detection for the ffmpeg CLI hook: ``"auto"`` probes
+    PATH (once per actor, in __init__), an explicit path/binary name is
+    taken as-is, None/"" disables the hook (stub/strict paths apply)."""
+    if ffmpeg == "auto":
+        return shutil.which("ffmpeg")
+    return ffmpeg or None
 
 
 def synth_media_table(n: int = 24, seed: int = 42) -> pa.Table:
@@ -182,8 +200,32 @@ class AudioDecodeActor:
     ``media.mp3_metadata``). Other audio: strict raises, default emits
     fake metadata (declared stub path)."""
 
-    def __init__(self, strict: bool = False):
+    def __init__(self, strict: bool = False, ffmpeg: str | None = "auto"):
         self.strict = strict
+        self.ffmpeg = _resolve_ffmpeg(ffmpeg)  # probed once per actor
+
+    def _decode_via_ffmpeg(self, payload: bytes) -> tuple[int, int, int]:
+        """Transcode any codec ffmpeg knows to WAV and reuse the real
+        PCM parser (functions/media.decode_wav). File (not pipe)
+        output on purpose: ffmpeg finalizes RIFF sizes only on
+        seekable outputs."""
+        with tempfile.TemporaryDirectory() as td:
+            src = os.path.join(td, "in.bin")
+            dst = os.path.join(td, "out.wav")
+            with open(src, "wb") as f:
+                f.write(payload)
+            proc = subprocess.run(
+                [self.ffmpeg, "-v", "error", "-i", src, dst],
+                capture_output=True,
+                timeout=FFMPEG_TIMEOUT_S,
+            )
+            if proc.returncode != 0 or not os.path.exists(dst):
+                raise RuntimeError(
+                    f"ffmpeg: {proc.stderr.decode(errors='replace')[:200]}"
+                )
+            with open(dst, "rb") as f:
+                rate, data = M.decode_wav(f.read())
+        return (rate, data.shape[0], data.shape[1])
 
     def decode(self, payload: bytes) -> tuple[int, int, int]:
         kind = M.sniff_media(payload)
@@ -193,8 +235,12 @@ class AudioDecodeActor:
         if kind == "mp3":
             rate, n, ch = M.mp3_metadata(payload)
             return (rate, n, ch)
+        if self.ffmpeg:
+            return self._decode_via_ffmpeg(payload)
         if self.strict:
-            raise NotImplementedError("non-WAV audio needs torchaudio/ffmpeg")
+            raise NotImplementedError(
+                "non-WAV audio needs ffmpeg on PATH (none found)"
+            )
         h = stable_digest(payload)
         return (8000 + (h % 5) * 8000, 1000 + h % 100000, 1 + h % 2)
 
@@ -290,13 +336,58 @@ class FrameSampleActor:
     Animated GIFs are decoded FOR REAL (``functions/gif`` LZW +
     composition): k frames are sampled evenly from the true frame
     sequence and re-emitted as standalone PNG payloads, ready for the
-    image stages downstream. MP4 keeps the deterministic byte-slice
-    stub (``strict=True`` raises) — the exploded-row plumbing is
-    identical for both paths."""
+    image stages downstream. MP4 (or anything else ffmpeg can read)
+    upgrades to REAL frame extraction when an ffmpeg binary is
+    capability-detected (``ffmpeg="auto"`` probes PATH once per
+    actor); without one the deterministic byte-slice stub applies
+    (``strict=True`` raises instead). A failed decode quarantines the
+    ROW — one (frame_idx=-1, empty payload, error) marker row — never
+    the batch."""
 
-    def __init__(self, frames_per_video: int = 4, strict: bool = False):
+    def __init__(
+        self,
+        frames_per_video: int = 4,
+        strict: bool = False,
+        ffmpeg: str | None = "auto",
+    ):
         self.k = frames_per_video
         self.strict = strict
+        self.ffmpeg = _resolve_ffmpeg(ffmpeg)  # probed once per actor
+
+    def _frames_ffmpeg(self, payload: bytes) -> list[bytes]:
+        """Real frame extraction via the ffmpeg CLI: payload → temp
+        file → every frame dumped as PNG → k sampled evenly. One
+        subprocess per VIDEO (not per frame); for hour-long inputs
+        swap the full dump for an ``-vf fps=`` pre-filter."""
+        with tempfile.TemporaryDirectory() as td:
+            src = os.path.join(td, "in.bin")
+            with open(src, "wb") as f:
+                f.write(payload)
+            proc = subprocess.run(
+                [
+                    self.ffmpeg,
+                    "-v",
+                    "error",
+                    "-i",
+                    src,
+                    "-vsync",
+                    "0",
+                    os.path.join(td, "f%06d.png"),
+                ],
+                capture_output=True,
+                timeout=FFMPEG_TIMEOUT_S,
+            )
+            outs = sorted(f for f in os.listdir(td) if f.endswith(".png"))
+            if proc.returncode != 0 or not outs:
+                raise RuntimeError(
+                    f"ffmpeg: {proc.stderr.decode(errors='replace')[:200]}"
+                )
+            pick = np.linspace(0, len(outs) - 1, self.k).round().astype(int)
+            frames = []
+            for i in pick:
+                with open(os.path.join(td, outs[i]), "rb") as f:
+                    frames.append(f.read())
+        return frames
 
     def frames_of(self, payload: bytes) -> list[bytes]:
         if M.sniff_media(payload) == "gif":
@@ -305,25 +396,40 @@ class FrameSampleActor:
                 return []
             pick = np.linspace(0, len(frames) - 1, self.k).round().astype(int)
             return [M.encode_png(frames[i]) for i in pick]
+        if self.ffmpeg:
+            return self._frames_ffmpeg(payload)
         if self.strict:
-            raise NotImplementedError("plug ffmpeg-style frame sampling here")
+            raise NotImplementedError(
+                "video frame sampling needs ffmpeg on PATH (none found)"
+            )
         n = max(1, len(payload) // self.k)
         return [payload[f * n : (f + 1) * n] for f in range(self.k)]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch.column("media_id").to_pylist()
         payloads = batch.column("payload").to_pylist()
-        o_id, o_idx, o_payload = [], [], []
+        o_id, o_idx, o_payload, o_err = [], [], [], []
         for mid, p in zip(ids, payloads):
-            for f, fp in enumerate(self.frames_of(p)):
+            try:
+                fps = self.frames_of(p)
+            except Exception as e:  # noqa: BLE001 — untrusted bytes:
+                # quarantine marker row; the batch (and job) survive
+                o_id.append(mid)
+                o_idx.append(-1)
+                o_payload.append(b"")
+                o_err.append(f"{type(e).__name__}: {e}")
+                continue
+            for f, fp in enumerate(fps):
                 o_id.append(mid)
                 o_idx.append(f)
                 o_payload.append(fp)
+                o_err.append(None)
         return pa.table(
             {
                 "media_id": pa.array(o_id, pa.int64()),
                 "frame_idx": pa.array(o_idx, pa.int32()),
                 "payload": pa.array(o_payload, pa.binary()),
+                "error": pa.array(o_err, pa.string()),
             }
         )
 

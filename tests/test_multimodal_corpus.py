@@ -3,6 +3,9 @@
 from __future__ import annotations
 
 import os
+import shutil
+
+import pyarrow as pa
 
 import numpy as np
 import pytest
@@ -351,3 +354,103 @@ def test_corrupt_payload_quarantines_not_raises(ray_session):
     assert fo.column("feature_error")[0].as_py() is None
     assert fo.column("feature_error")[1].as_py() is not None
     assert all(v == 0.0 for v in fo.column("embedding")[1].as_py())
+
+
+# --- ffmpeg CLI hook (r5): capability-detected real decode ---------------
+
+_SHIM = '''#!/usr/bin/env python3
+"""Fake ffmpeg: obeys the exact CLI contract the hook issues, so the
+subprocess plumbing (temp files, pattern collection, sampling, RIFF
+finalize) runs for real even without a system ffmpeg."""
+import sys
+sys.path.insert(0, "/root/repo")
+import numpy as np
+from knowledge_graph_ray.functions.media import encode_png, encode_wav
+args = sys.argv[1:]
+src = args[args.index("-i") + 1]
+if open(src, "rb").read().startswith(b"CORRUPT"):
+    sys.stderr.write("moov atom not found")
+    sys.exit(1)
+out = args[-1]
+if out.endswith(".png"):
+    for i in range(6):  # six frames, value-coded so sampling is checkable
+        img = np.full((4, 5, 3), i * 10, dtype=np.uint8)
+        open(out % (i + 1), "wb").write(encode_png(img))
+else:
+    x = (np.sin(np.arange(1600) / 10.0) * 20000).astype(np.int16)
+    open(out, "wb").write(encode_wav(x, 8000))
+'''
+
+
+@pytest.fixture()
+def fake_ffmpeg(tmp_path):
+    p = tmp_path / "ffmpeg"
+    p.write_text(_SHIM)
+    p.chmod(0o755)
+    return str(p)
+
+
+def test_frame_sample_ffmpeg_hook(fake_ffmpeg):
+    mp4 = b"\x00\x00\x00\x18ftypmp42" + b"\x01" * 64
+    actor = mm.FrameSampleActor(frames_per_video=3, ffmpeg=fake_ffmpeg)
+    frames = actor.frames_of(mp4)
+    assert len(frames) == 3
+    # evenly sampled from the shim's 6 value-coded frames: 0, 2, 5
+    from knowledge_graph_ray.functions.media import decode_png
+
+    vals = []
+    for fp in frames:
+        w, h, c, img = decode_png(fp)
+        assert (w, h, c) == (5, 4, 3)
+        vals.append(int(img[0, 0, 0]))
+    assert vals == [0, 20, 50]
+
+
+def test_frame_sample_ffmpeg_quarantines_row(fake_ffmpeg):
+    """A failing decode (shim exits 1) must yield the marker row, and
+    the good row in the same batch must still produce frames."""
+    good = b"\x00\x00\x00\x18ftypmp42" + b"\x01" * 64
+    batch = pa.table(
+        {
+            "media_id": pa.array([1, 2], pa.int64()),
+            "payload": pa.array([b"CORRUPT" + b"\x00" * 32, good], pa.binary()),
+        }
+    )
+    out = mm.FrameSampleActor(frames_per_video=2, ffmpeg=fake_ffmpeg)(batch)
+    rows = out.to_pylist()
+    bad = [r for r in rows if r["media_id"] == 1]
+    assert len(bad) == 1 and bad[0]["frame_idx"] == -1
+    assert "moov atom" in bad[0]["error"]
+    goods = [r for r in rows if r["media_id"] == 2]
+    assert len(goods) == 2 and all(r["error"] is None for r in goods)
+
+
+def test_audio_decode_ffmpeg_hook(fake_ffmpeg):
+    fake_mp4_audio = b"\x00\x00\x00\x18ftypmp42" + b"\x02" * 64
+    actor = mm.AudioDecodeActor(ffmpeg=fake_ffmpeg)
+    rate, n, ch = actor.decode(fake_mp4_audio)
+    assert (rate, n, ch) == (8000, 1600, 1)  # shim's WAV, really parsed
+
+
+def test_no_ffmpeg_stub_path_unchanged(ray_session):
+    """Without a binary (ffmpeg=None / PATH probe failing) the declared
+    stub semantics hold: byte-slice frames, fake audio metadata,
+    strict raises — and the quarantine marker row appears under
+    strict through the actor call."""
+    mp4 = b"\x00\x00\x00\x18ftypmp42" + bytes(range(256))
+    actor = mm.FrameSampleActor(frames_per_video=4, ffmpeg=None)
+    assert len(actor.frames_of(mp4)) == 4
+    strict = mm.FrameSampleActor(frames_per_video=4, strict=True, ffmpeg=None)
+    batch = pa.table(
+        {"media_id": pa.array([7], pa.int64()), "payload": pa.array([mp4], pa.binary())}
+    )
+    rows = strict(batch).to_pylist()
+    assert len(rows) == 1 and rows[0]["frame_idx"] == -1
+    assert "NotImplementedError" in rows[0]["error"]
+
+
+@pytest.mark.skipif(shutil.which("ffmpeg") is None, reason="no system ffmpeg")
+def test_frame_sample_real_ffmpeg():
+    mp4 = b"\x00\x00\x00\x18ftypmp42"  # real ffmpeg will reject this stub
+    actor = mm.FrameSampleActor(frames_per_video=2)
+    assert actor.ffmpeg is not None
