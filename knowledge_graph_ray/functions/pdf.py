@@ -7,12 +7,19 @@ same contract (PDF bytes → text, never raises on garbage — callers
 quarantine): it
 
 1. finds every ``stream ... endstream`` object,
-2. inflates ``/FlateDecode`` streams (zlib; stored streams pass
-   through),
-3. scans content streams for text blocks (``BT``/``ET``) and collects
-   the show-text operators ``Tj``, ``'``, ``"`` and ``TJ`` (array
-   form, kern numbers ignored), decoding PDF literal strings
-   (``\\(``-escapes, octal) and hex strings.
+2. decodes the stream's ``/Filter`` chain — ``/FlateDecode`` (zlib),
+   ``/ASCIIHexDecode``, ``/ASCII85Decode``, arrays applied in order;
+   unknown filters quarantine the stream (skipped, never raises),
+3. scans content streams for text blocks (``BT``/``ET``) in document
+   order, collecting font selects (``Tf``) and the show-text operators
+   ``Tj``, ``'``, ``"`` and ``TJ`` (array form, kern numbers ignored),
+   decoding PDF literal strings (``\\(``-escapes, octal) and hex
+   strings,
+4. when the active font carries a simple ``/ToUnicode`` CMap
+   (``bfchar``/``bfrange``, resolved through the object table and the
+   page ``/Resources /Font`` dicts), maps show-string char codes
+   through it; fonts without a CMap fall back to PDFDocEncoding
+   (≈ latin-1), same as before.
 
 Line structure: each show-text op contributes one line within its
 ``BT`` block; blocks are joined with newlines (one block per
@@ -25,18 +32,24 @@ exactly, same discipline as the HTML oracle (functions/extract.py).
 
 from __future__ import annotations
 
+import base64
+import binascii
 import re
 import zlib
 
 _STREAM_RE = re.compile(rb"(<<.*?>>)\s*stream\r?\n(.*?)endstream", re.DOTALL)
 _TEXT_BLOCK_RE = re.compile(rb"BT(.*?)ET", re.DOTALL)
-# a literal string (with escapes) or hex string, followed by a show op;
-# TJ arrays are matched separately
-_SHOW_RE = re.compile(
-    rb"(\((?:\\.|[^\\()])*\)|<[0-9A-Fa-f\s]*>)\s*(Tj|'|\")"
-)
-_TJ_RE = re.compile(rb"\[((?:\((?:\\.|[^\\()])*\)|<[0-9A-Fa-f\s]*>|[^\]])*)\]\s*TJ")
 _STR_RE = re.compile(rb"\((?:\\.|[^\\()])*\)|<[0-9A-Fa-f\s]*>")
+# one pass over a BT block in document order: font select | TJ array |
+# single-string show op (Tj ' ")
+_TOKEN_RE = re.compile(
+    rb"/([A-Za-z0-9.+-]+)\s+[0-9.+-]+\s+Tf"
+    rb"|\[((?:\((?:\\.|[^\\()])*\)|<[0-9A-Fa-f\s]*>|[^\]])*)\]\s*TJ"
+    rb"|(\((?:\\.|[^\\()])*\)|<[0-9A-Fa-f\s]*>)\s*(Tj|'|\")"
+)
+_OBJ_RE = re.compile(rb"(\d+)\s+\d+\s+obj\b(.*?)endobj", re.DOTALL)
+_FILTER_RE = re.compile(rb"/Filter\s*(\[[^\]]*\]|/[A-Za-z0-9]+)")
+_NAME_RE = re.compile(rb"/([A-Za-z0-9]+)")
 
 _ESCAPES = {
     b"n": b"\n",
@@ -76,51 +89,187 @@ def _decode_literal(raw: bytes) -> bytes:
     return bytes(out)
 
 
-def _decode_string(tok: bytes) -> str:
+def _string_bytes(tok: bytes) -> bytes:
     if tok.startswith(b"("):
-        data = _decode_literal(tok[1:-1])
-    else:  # hex string
-        hx = re.sub(rb"\s", b"", tok[1:-1])
-        if len(hx) % 2:
-            hx += b"0"
-        data = bytes.fromhex(hx.decode("ascii"))
-    # PDFDocEncoding ≈ latin-1 for the printable range (no font cmaps
-    # in this minimal extractor)
-    return data.decode("latin-1")
+        return _decode_literal(tok[1:-1])
+    hx = re.sub(rb"\s", b"", tok[1:-1])
+    if len(hx) % 2:
+        hx += b"0"
+    return bytes.fromhex(hx.decode("ascii"))
 
 
-def _block_text(block: bytes) -> str:
-    """One BT..ET block → its show-text lines."""
+def _decode_string(tok: bytes, cmap: "tuple[int, dict[int, str]] | None") -> str:
+    data = _string_bytes(tok)
+    if cmap is None:
+        # PDFDocEncoding ≈ latin-1 for the printable range
+        return data.decode("latin-1")
+    width, mapping = cmap
+    out: list[str] = []
+    for i in range(0, len(data) - width + 1, width):
+        code = int.from_bytes(data[i : i + width], "big")
+        mapped = mapping.get(code)
+        if mapped is None:  # unmapped simple-font code: byte fallback
+            mapped = chr(code) if code < 256 else ""
+        out.append(mapped)
+    return "".join(out)
+
+
+def _block_text(block: bytes, cmaps: dict[str, tuple[int, dict[int, str]]]) -> str:
+    """One BT..ET block → its show-text lines, scanned in document
+    order (Tf font selects switch the active ToUnicode map)."""
     lines: list[str] = []
-    # strip TJ arrays first so _SHOW_RE can't double-count their
-    # member strings, collecting their text in document order
-    pieces: list[tuple[int, str]] = []
-    for m in _TJ_RE.finditer(block):
-        text = "".join(_decode_string(s.group(0)) for s in _STR_RE.finditer(m.group(1)))
-        pieces.append((m.start(), text))
-    without_tj = _TJ_RE.sub(b"", block)
-    for m in _SHOW_RE.finditer(without_tj):
-        # position in the original block is approximate after the sub;
-        # ordering within each operator family is preserved, and mixed
-        # files interleave per-family — fine for extraction purposes
-        pieces.append((m.start(), _decode_string(m.group(1))))
-    pieces.sort(key=lambda p: p[0])
-    for _, text in pieces:
+    active: tuple[int, dict[int, str]] | None = None
+    for m in _TOKEN_RE.finditer(block):
+        if m.group(1) is not None:  # /F1 12 Tf
+            active = cmaps.get(m.group(1).decode("latin-1", "replace"))
+            continue
+        if m.group(2) is not None:  # [ ... ] TJ
+            text = "".join(
+                _decode_string(s.group(0), active)
+                for s in _STR_RE.finditer(m.group(2))
+            )
+        else:  # (s) Tj / ' / "
+            text = _decode_string(m.group(3), active)
         if text:
             lines.append(text)
     return "\n".join(lines)
 
 
-def _inflate(stream_dict: bytes, body: bytes) -> bytes | None:
-    if b"/FlateDecode" in stream_dict:
-        try:
-            return zlib.decompress(body)
+# ------------------------------------------------------------ filters
+
+def _flate(body: bytes) -> bytes | None:
+    try:
+        return zlib.decompress(body)
+    except zlib.error:
+        try:  # some writers pad the stream; try raw deflate
+            return zlib.decompressobj().decompress(body)
         except zlib.error:
-            try:  # some writers pad the stream; try raw deflate
-                return zlib.decompressobj().decompress(body)
-            except zlib.error:
-                return None
-    return body
+            return None
+
+
+def _ascii_hex(body: bytes) -> bytes | None:
+    data = body.split(b">", 1)[0]  # '>' is the EOD marker
+    hx = re.sub(rb"\s", b"", data)
+    if len(hx) % 2:
+        hx += b"0"
+    try:
+        return bytes.fromhex(hx.decode("ascii"))
+    except (ValueError, UnicodeDecodeError):
+        return None
+
+
+def _ascii85(body: bytes) -> bytes | None:
+    data = re.sub(rb"\s", b"", body)
+    if data.startswith(b"<~"):
+        data = data[2:]
+    end = data.find(b"~>")
+    if end != -1:
+        data = data[:end]
+    try:
+        return base64.a85decode(data)
+    except (ValueError, binascii.Error):
+        return None
+
+
+_FILTERS = {
+    b"FlateDecode": _flate,
+    b"Fl": _flate,
+    b"ASCIIHexDecode": _ascii_hex,
+    b"AHx": _ascii_hex,
+    b"ASCII85Decode": _ascii85,
+    b"A85": _ascii85,
+}
+
+
+def _decode_stream(stream_dict: bytes, body: bytes) -> bytes | None:
+    """Apply the /Filter chain (None = quarantine this stream)."""
+    m = _FILTER_RE.search(stream_dict)
+    if not m:
+        # no /Filter (or one we couldn't parse): stored stream
+        return None if b"/Filter" in stream_dict else body
+    data: bytes | None = body
+    for name in _NAME_RE.findall(m.group(1)):
+        fn = _FILTERS.get(name)
+        if fn is None or data is None:  # LZW/DCT/...: quarantine
+            return None
+        data = fn(data)
+    return data
+
+
+# ------------------------------------------------- ToUnicode CMaps
+
+def _utf16be(hx: bytes) -> str:
+    try:
+        return bytes.fromhex(hx.decode("ascii")).decode("utf-16-be", "replace")
+    except (ValueError, UnicodeDecodeError):
+        return ""
+
+
+def _parse_cmap(data: bytes) -> tuple[int, dict[int, str]] | None:
+    """ToUnicode CMap bytes → (code width, code→str)."""
+    mapping: dict[int, str] = {}
+    width = 1
+    m = re.search(rb"begincodespacerange\s*<([0-9A-Fa-f]+)>", data)
+    if m:
+        width = max(1, len(m.group(1)) // 2)
+    for sec in re.finditer(rb"beginbfchar(.*?)endbfchar", data, re.DOTALL):
+        for e in re.finditer(
+            rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>", sec.group(1)
+        ):
+            mapping[int(e.group(1), 16)] = _utf16be(e.group(2))
+    for sec in re.finditer(rb"beginbfrange(.*?)endbfrange", data, re.DOTALL):
+        for e in re.finditer(
+            rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*"
+            rb"(<[0-9A-Fa-f]+>|\[[^\]]*\])",
+            sec.group(1),
+        ):
+            lo, hi = int(e.group(1), 16), int(e.group(2), 16)
+            hi = min(hi, lo + 4095)  # bound hostile ranges
+            dst = e.group(3)
+            if dst.startswith(b"["):
+                vals = re.findall(rb"<([0-9A-Fa-f]+)>", dst)
+                for i, v in enumerate(vals):
+                    if lo + i > hi:
+                        break
+                    mapping[lo + i] = _utf16be(v)
+            else:
+                base = int(dst[1:-1], 16)
+                for c in range(lo, hi + 1):
+                    mapping[c] = chr(min(base + (c - lo), 0x10FFFF))
+    return (width, mapping) if mapping else None
+
+
+def _font_cmaps(payload: bytes) -> dict[str, tuple[int, dict[int, str]]]:
+    """Resource font name (e.g. ``F1``) → parsed ToUnicode CMap, by
+    walking ``N G obj`` bodies textually: font objects carrying
+    ``/ToUnicode M 0 R`` + ``/Font << /Fx N 0 R >>`` resource dicts
+    (no xref needed — same clean-room minimalism as the extractor)."""
+    objs = {int(m.group(1)): m.group(2) for m in _OBJ_RE.finditer(payload)}
+    font_tu: dict[int, int] = {}
+    name_to_obj: dict[str, int] = {}
+    for num, body in objs.items():
+        tu = re.search(rb"/ToUnicode\s+(\d+)\s+\d+\s+R", body)
+        if tu:
+            font_tu[num] = int(tu.group(1))
+        fm = re.search(rb"/Font\s*<<(.*?)>>", body, re.DOTALL)
+        if fm:
+            for nm in re.finditer(rb"/([A-Za-z0-9.+-]+)\s+(\d+)\s+\d+\s+R", fm.group(1)):
+                name_to_obj[nm.group(1).decode("latin-1")] = int(nm.group(2))
+    out: dict[str, tuple[int, dict[int, str]]] = {}
+    for name, fobj in name_to_obj.items():
+        tu_obj = font_tu.get(fobj)
+        if tu_obj is None or tu_obj not in objs:
+            continue
+        sm = _STREAM_RE.search(objs[tu_obj])
+        if not sm:
+            continue
+        data = _decode_stream(sm.group(1), sm.group(2))
+        if data is None:
+            continue
+        cmap = _parse_cmap(data)
+        if cmap:
+            out[name] = cmap
+    return out
 
 
 def extract_pdf_text(payload: bytes) -> str:
@@ -129,12 +278,19 @@ def extract_pdf_text(payload: bytes) -> str:
     (callers quarantine empty output upstream if needed)."""
     if not isinstance(payload, (bytes, bytearray)):
         raise TypeError("extract_pdf_text expects bytes")
+    payload = bytes(payload)
+    try:
+        cmaps = _font_cmaps(payload)
+    except Exception:
+        cmaps = {}
     pages: list[str] = []
     for m in _STREAM_RE.finditer(payload):
-        content = _inflate(m.group(1), m.group(2))
+        content = _decode_stream(m.group(1), m.group(2))
         if content is None or b"BT" not in content:
             continue
-        blocks = [_block_text(b) for b in _TEXT_BLOCK_RE.findall(content)]
+        if b"begincmap" in content or b"beginbfchar" in content:
+            continue  # a CMap stream, not page content
+        blocks = [_block_text(b, cmaps) for b in _TEXT_BLOCK_RE.findall(content)]
         text = "\n".join(b for b in blocks if b)
         if text:
             pages.append(text)

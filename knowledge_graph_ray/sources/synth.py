@@ -347,13 +347,43 @@ def write_corpus(out_dir: str, n_pages: int, seed: int = 42) -> dict[str, str]:
 
 # ------------------------------------------------------------- PDF pages
 
-def make_pdf(lines: list[str], compress: bool = True) -> bytes:
+def _pdf_encode_filters(content: bytes, filters: list[str]) -> tuple[bytes, bytes]:
+    """Apply a named encode chain; returns (body, /Filter clause).
+    Decode order is the dict order, so encode runs the list REVERSED
+    (the last-listed filter is the innermost encoding)."""
+    import base64
+    import binascii
+    import zlib
+
+    for name in reversed(filters):
+        if name == "FlateDecode":
+            content = zlib.compress(content)
+        elif name == "ASCIIHexDecode":
+            content = binascii.hexlify(content) + b">"
+        elif name == "ASCII85Decode":
+            content = base64.a85encode(content) + b"~>"
+        else:
+            raise ValueError(f"unknown test filter {name}")
+    if not filters:
+        return content, b""
+    if len(filters) == 1:
+        return content, f" /Filter /{filters[0]}".encode()
+    inner = " ".join(f"/{f}" for f in filters)
+    return content, f" /Filter [{inner}]".encode()
+
+
+def make_pdf(
+    lines: list[str],
+    compress: bool = True,
+    filters: list[str] | None = None,
+) -> bytes:
     """Minimal valid single-page PDF with one text line per Tj op —
     the deterministic fixture for functions.pdf.extract_pdf_text
     (reference ingests real PDFs via PyPDF2, get_files.py:23-35; this
     synthesizes the equivalent input in-sandbox). Latin-1-encodable
-    text only; parens/backslashes are escaped."""
-    import zlib
+    text only; parens/backslashes are escaped. ``filters`` overrides
+    the legacy ``compress`` flag with an explicit decode chain, e.g.
+    ``["ASCII85Decode", "FlateDecode"]``."""
 
     def esc(s: str) -> bytes:
         return (
@@ -367,10 +397,9 @@ def make_pdf(lines: list[str], compress: bool = True) -> bytes:
         ops.append(b"(" + esc(line) + b") Tj")
     ops.append(b"ET")
     content = b"\n".join(ops)
-    filt = b""
-    if compress:
-        content = zlib.compress(content)
-        filt = b" /Filter /FlateDecode"
+    if filters is None:
+        filters = ["FlateDecode"] if compress else []
+    content, filt = _pdf_encode_filters(content, filters)
     objs = [
         b"<< /Type /Catalog /Pages 2 0 R >>",
         b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
@@ -380,6 +409,10 @@ def make_pdf(lines: list[str], compress: bool = True) -> bytes:
         + content + b"\nendstream",
         b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
     ]
+    return _pdf_assemble(objs)
+
+
+def _pdf_assemble(objs: list[bytes]) -> bytes:
     out = bytearray(b"%PDF-1.4\n")
     offsets = []
     for i, body in enumerate(objs, start=1):
@@ -395,6 +428,52 @@ def make_pdf(lines: list[str], compress: bool = True) -> bytes:
         + b" /Root 1 0 R >>\nstartxref\n" + str(xref_at).encode() + b"\n%%EOF\n"
     )
     return bytes(out)
+
+
+def make_pdf_tounicode(lines: list[str]) -> bytes:
+    """Single-page PDF whose text is shown as 2-byte hex strings
+    through a /ToUnicode CMap (the simple-font cmap path of
+    functions.pdf). Codes are assigned per distinct character in
+    appearance order starting at 0x0100 (so a latin-1 fallback could
+    never accidentally match); the CMap stream is FlateDecoded."""
+    import zlib
+
+    codes: dict[str, int] = {}
+    for ch in "".join(lines):
+        if ch not in codes:
+            codes[ch] = 0x0100 + len(codes)
+    ops = [b"BT /F1 12 Tf 72 720 Td"]
+    for i, line in enumerate(lines):
+        if i:
+            ops.append(b"0 -14 Td")
+        hx = "".join(f"{codes[ch]:04X}" for ch in line)
+        ops.append(b"<" + hx.encode("ascii") + b"> Tj")
+    ops.append(b"ET")
+    content = zlib.compress(b"\n".join(ops))
+    bfchars = "\n".join(
+        f"<{code:04X}> <{ord(ch):04X}>" for ch, code in codes.items()
+    )
+    cmap = (
+        "/CIDInit /ProcSet findresource begin\n"
+        "begincmap\n"
+        "1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n"
+        f"{len(codes)} beginbfchar\n{bfchars}\nendbfchar\n"
+        "endcmap\nend\n"
+    ).encode("ascii")
+    cmap_z = zlib.compress(cmap)
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>",
+        b"<< /Length " + str(len(content)).encode()
+        + b" /Filter /FlateDecode >>\nstream\n" + content + b"\nendstream",
+        b"<< /Type /Font /Subtype /Type0 /BaseFont /Synth-CID "
+        b"/ToUnicode 6 0 R >>",
+        b"<< /Length " + str(len(cmap_z)).encode()
+        + b" /Filter /FlateDecode >>\nstream\n" + cmap_z + b"\nendstream",
+    ]
+    return _pdf_assemble(objs)
 
 
 def pdf_pages_table(n_pages: int, seed: int = 42) -> pa.Table:

@@ -9,7 +9,11 @@ import pyarrow as pa
 
 from knowledge_graph_ray.functions.extract import extract_batch, sniff_kind
 from knowledge_graph_ray.functions.pdf import extract_pdf_text
-from knowledge_graph_ray.sources.synth import make_pdf, pdf_pages_table
+from knowledge_graph_ray.sources.synth import (
+    make_pdf,
+    make_pdf_tounicode,
+    pdf_pages_table,
+)
 
 
 def test_roundtrip_compressed_and_stored():
@@ -68,3 +72,71 @@ def test_octal_escapes():
         b"%PDF-1.0\n1 0 obj\n<< >>\nstream\n" + body + b"\nendstream\nendobj"
     )
     assert extract_pdf_text(raw) == "Hi)"
+
+
+def test_asciihex_and_ascii85_filters():
+    lines = ["Hex encoded body", "æøå roundtrips"]
+    for chain in (
+        ["ASCIIHexDecode"],
+        ["ASCII85Decode"],
+        ["ASCIIHexDecode", "FlateDecode"],
+        ["ASCII85Decode", "FlateDecode"],
+    ):
+        pdf = make_pdf(lines, filters=chain)
+        assert extract_pdf_text(pdf) == "\n".join(lines), chain
+
+
+def test_unknown_filter_quarantines_stream_only():
+    good = make_pdf(["kept page"])
+    # append an LZW-tagged stream: its garbage must not leak into output
+    bad = (
+        b"\n7 0 obj\n<< /Length 8 /Filter /LZWDecode >>\nstream\n"
+        b"BT bogus\nendstream\nendobj\n"
+    )
+    assert extract_pdf_text(good + bad) == "kept page"
+
+
+def test_tounicode_cmap_simple_font():
+    lines = ["Hello world", "ToUnicode mapped ÆØÅ"]
+    pdf = make_pdf_tounicode(lines)
+    # codes start at 0x0100, so a latin-1 fallback could never produce
+    # the expected text — only the cmap path can
+    assert extract_pdf_text(pdf) == "\n".join(lines)
+
+
+def test_tf_switches_cmap_within_block():
+    import zlib
+
+    # two fonts in one BT block: F1 has a cmap (A->Z, B->Y), F2 does not
+    cmap = (
+        b"begincodespacerange <00> <FF> endcodespacerange\n"
+        b"2 beginbfchar\n<41> <005A>\n<42> <0059>\nendbfchar"
+    )
+    content = b"BT /F1 10 Tf <4142> Tj /F2 10 Tf <4142> Tj ET"
+    cz = zlib.compress(cmap)
+    raw = (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<< /Type /Page /Resources << /Font << /F1 2 0 R /F2 4 0 R >> >> "
+        b"/Contents 3 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Font /ToUnicode 5 0 R >>\nendobj\n"
+        b"3 0 obj\n<< /Length " + str(len(content)).encode() + b" >>\nstream\n"
+        + content + b"\nendstream\nendobj\n"
+        b"4 0 obj\n<< /Type /Font /Subtype /Type1 >>\nendobj\n"
+        b"5 0 obj\n<< /Length " + str(len(cz)).encode()
+        + b" /Filter /FlateDecode >>\nstream\n" + cz + b"\nendstream\nendobj\n"
+    )
+    assert extract_pdf_text(raw) == "ZY\nAB"
+
+
+def test_bfrange_forms():
+    from knowledge_graph_ray.functions.pdf import _parse_cmap
+
+    data = (
+        b"begincodespacerange <0000> <FFFF> endcodespacerange\n"
+        b"1 beginbfrange\n<0041> <0043> <0061>\nendbfrange\n"
+        b"1 beginbfrange\n<0100> <0101> [<0058> <0059>]\nendbfrange"
+    )
+    width, mapping = _parse_cmap(data)
+    assert width == 2
+    assert [mapping[c] for c in (0x41, 0x42, 0x43)] == ["a", "b", "c"]
+    assert mapping[0x100] == "X" and mapping[0x101] == "Y"
