@@ -5,12 +5,23 @@ question → embed → ANN top-k over paragraph embeddings (K1/T7)
         → context-window expansion around each hit (K5)
         → first-seen dedup, top-8 (D3)
 
-Ray shape: the corpus side streams (ANN scan is ``knn_topk``'s
-per-batch partial top-k); everything AFTER candidate generation
-operates on the small candidate set (≤ queries × k rows — the
-reference's interactive path run as a batch job over a query
-Dataset). The one-question interactive path is this pipeline over a
-1-row query list.
+Two shapes over the same semantics:
+
+- ``search`` — the low-latency serving path: the corpus side streams
+  (ANN scan is ``knn_topk``'s per-batch partial top-k); everything
+  AFTER candidate generation is collected to the driver (bounded by
+  queries × k rows — the reference's interactive path run as a batch
+  job over a small query list).
+- ``search_distributed`` — the scale path for large query batches:
+  candidate volume NEVER lands on the driver. Candidate fetch is a
+  hash join on ``para_key``, rerank is the same actor pool over the
+  joined Dataset, per-query select/dedup is one bucketed pandas
+  kernel keyed on ``query_id``, and context expansion joins the kept
+  hits back to their docs' paragraphs on ``doc_id`` and windows each
+  (query, rank) group in a second bucketed kernel. The only
+  driver-side state is the query list itself, which the ANN scan
+  broadcasts anyway. Results are row-identical to ``search``
+  (pinned by tests/test_qa_search_misc.py).
 """
 
 from __future__ import annotations
@@ -186,4 +197,158 @@ def search(
             "rerank_score": pa.array([], pa.float64()),
             "context": pa.array([], pa.string()),
         }
+    )
+
+
+def search_distributed(
+    queries: list[tuple[int, str]],
+    paragraphs: Dataset,
+    *,
+    k_ann: int = 100,
+    k_rerank: int = 10,
+    k_final: int = 8,
+    context_tokens: int = 120,
+    dim: int = 64,
+    concurrency: int | tuple = (1, 2),
+    num_buckets: int = 32,
+) -> Dataset:
+    """Scale twin of ``search`` (same knobs, same rows, Dataset out):
+    no stage collects candidate- or corpus-proportional data on the
+    driver — see the module docstring for the shuffle plan."""
+    import ray
+    import ray.data as rd  # noqa: F401  (kept for symmetry with search)
+
+    from knowledge_graph_ray.pipelines.relational import (
+        hash_bucket_agg,
+        hash_join,
+        pin_schema,
+    )
+    from knowledge_graph_ray.stages.knn import knn_topk
+
+    embedder = HashEmbedder(dim)
+    qids = [q for q, _ in queries]
+    qvecs = embedder.encode([t for _, t in queries])
+    qtext_ref = ray.put({q: t for q, t in queries})
+
+    # consumed twice (ANN scan + the two joins) — pin once, same
+    # rationale as `search`; at real scale checkpoint to parquet
+    paras = paragraphs.map_batches(add_para_key, batch_format="pyarrow").materialize()
+    slim = paras.select_columns(["para_key", "doc_id", "para_idx", "text"])
+
+    cands = knn_topk(
+        paras, qids, qvecs, k=k_ann, vec_col="embedding", id_col="para_key",
+        exclude_self=False,
+    ).select_columns(["query_id", "neighbor_id"])
+
+    # candidate fetch: large-large hash join (embedding column pruned
+    # above so vectors never ride the shuffle)
+    cand_rows = hash_join(cands, slim, on="neighbor_id", right_on="para_key")
+
+    def add_query_text(batch: pa.Table) -> pa.Table:
+        qtexts = ray.get(qtext_ref)
+        qs = [qtexts[q] for q in batch.column("query_id").to_pylist()]
+        return batch.append_column("query", pa.array(qs, pa.string()))
+
+    scored = cand_rows.map_batches(
+        add_query_text, batch_format="pyarrow"
+    ).map_batches(
+        RerankActor,
+        fn_constructor_kwargs={"dim": dim},
+        concurrency=concurrency,
+        batch_format="pyarrow",
+    )
+
+    # K2 + D3: per-query sort → first-seen text dedup → top-k_final,
+    # one vectorized kernel per query bucket (each query lives whole
+    # in one bucket; hot buckets need one dominant query — bounded by
+    # k_ann rows per query, so skew is capped by construction)
+    def select(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for qid, g in df.groupby("query_id"):
+            # neighbor_id == para_key (the join key) — same tiebreak
+            # as `search`'s (score desc, para_key asc)
+            g = g.sort_values(
+                ["rerank_score", "neighbor_id"], ascending=[False, True]
+            ).head(k_rerank)
+            g = g[~g["text"].duplicated()].head(k_final).reset_index(drop=True)
+            g["rank"] = g.index + 1
+            out.append(
+                g[["query_id", "rank", "doc_id", "para_idx", "rerank_score"]]
+            )
+        if not out:
+            return pd.DataFrame(
+                columns=["query_id", "rank", "doc_id", "para_idx", "rerank_score"]
+            )
+        return pd.concat(out, ignore_index=True)
+
+    # materialize the TINY hit table (≤ queries × k_final rows): it
+    # closes the first execution graph so join1's shuffle aggregator
+    # actors + the rerank pool release their slots before join2 spawns
+    # its own aggregators — two live hash joins plus an actor pool in
+    # one streaming graph starve small clusters (measured deadlock at
+    # 4 CPUs), and without the pin the whole ANN+join+rerank upstream
+    # would re-execute for join2's partition-count probe anyway
+    hits = hash_bucket_agg(
+        scored, ["query_id"], select, num_buckets=num_buckets
+    ).materialize()
+
+    def tag_hit(batch: pa.Table) -> pa.Table:
+        # the doc-paras join below reuses para_idx for the context rows
+        return batch.rename_columns(
+            [{"para_idx": "hit_para_idx"}.get(c, c) for c in batch.column_names]
+        )
+
+    hits = hits.map_batches(tag_hit, batch_format="pyarrow")
+
+    # K5: each kept hit needs its doc's full paragraph list — join the
+    # (small: ≤ queries × k_final) hit table to the corpus on doc_id,
+    # then window each (query, rank) group in one bucketed kernel
+    ctx_rows = hash_join(
+        hits,
+        slim.select_columns(["doc_id", "para_idx", "text"]).map_batches(
+            lambda b: b.rename_columns(["ctx_doc_id", "para_idx", "text"]),
+            batch_format="pyarrow",
+        ),
+        on="doc_id",
+        right_on="ctx_doc_id",
+    )
+
+    def expand(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for (qid, rank), g in df.groupby(["query_id", "rank"]):
+            ctx = _window(
+                g[["para_idx", "text"]],
+                int(g["hit_para_idx"].iloc[0]),
+                budget=context_tokens,
+            )
+            out.append(
+                {
+                    "query_id": int(qid),
+                    "rank": int(rank),
+                    "doc_id": int(g["doc_id"].iloc[0]),
+                    "para_idx": int(g["hit_para_idx"].iloc[0]),
+                    "rerank_score": float(g["rerank_score"].iloc[0]),
+                    "context": ctx,
+                }
+            )
+        cols = ["query_id", "rank", "doc_id", "para_idx", "rerank_score", "context"]
+        return pd.DataFrame(out, columns=cols)
+
+    result = hash_bucket_agg(
+        ctx_rows, ["query_id", "rank"], expand, num_buckets=num_buckets
+    )
+    arrow_schema = paras.schema().base_schema  # ray Schema → pyarrow
+    para_idx_t = arrow_schema.field("para_idx").type
+    return pin_schema(
+        result,
+        pa.schema(
+            [
+                ("query_id", pa.int64()),
+                ("rank", pa.int64()),
+                ("doc_id", pa.int64()),
+                ("para_idx", para_idx_t),
+                ("rerank_score", pa.float64()),
+                ("context", pa.string()),
+            ]
+        ),
     )

@@ -136,6 +136,28 @@ def test_search_pipeline_finds_relevant_doc(ray_session):
     assert len({r["context"] for r in rows}) == len(rows)
 
 
+def test_search_distributed_matches_serving_path(ray_session):
+    import pandas as pd
+
+    from knowledge_graph_ray.pipelines.corpus import build_corpus
+    from knowledge_graph_ray.pipelines.search import search, search_distributed
+
+    pages = rd.from_arrow(synth.pages_table(60))
+    paras = build_corpus(pages, near_dup=False, normalize=False, concurrency=1)
+    queries = [
+        (7, "who leads Orga 0"),
+        (11, "the museum opened in Aarhus"),
+        (3, "the quarterly report was published"),
+    ]
+    kw = dict(k_ann=15, k_rerank=8, k_final=5)
+    a = search(queries, paras, **kw).to_pandas()
+    b = search_distributed(queries, paras, **kw).to_pandas()
+    a = a.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    b = b.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert len(a) and len(b)
+    pd.testing.assert_frame_equal(a, b[a.columns], check_dtype=False)
+
+
 def test_write_combined_doc_s12(tmp_path, ray_session):
     import ray.data as rd
     from knowledge_graph_ray.functions.qa import write_combined_doc
