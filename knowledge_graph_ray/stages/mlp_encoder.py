@@ -108,6 +108,31 @@ def load_mlp_encoder(path: str | None = None) -> MLPEncoder:
         return MLPEncoder({k: z[k] for k in ("W1", "b1", "W2", "b2")})
 
 
+class MLPCrossScorer:
+    """CrossEncoder-shaped scorer over the same persisted weights:
+    ``predict(list[(q, p)]) -> (n,) float`` = cosine of the two MLP
+    embeddings (a bi-encoder run in the cross-encoder SERVING slot —
+    the real reranker is a joint forward, bert_rerank.py:38-75, but
+    the actor/loader/batching contract it exercises is identical)."""
+
+    def __init__(self, encoder: MLPEncoder):
+        self.encoder = encoder
+
+    def predict(self, pairs: list[tuple[str, str]]) -> np.ndarray:
+        if not pairs:
+            return np.zeros(0, dtype=np.float64)
+        q = self.encoder.encode([a for a, _ in pairs])
+        p = self.encoder.encode([b for _, b in pairs])
+        # encode() rows are unit vectors → dot IS cosine
+        return (q * p).sum(axis=1).astype(np.float64)
+
+
+def load_mlp_cross_scorer(path: str | None = None) -> MLPCrossScorer:
+    """Zero-arg loader for ``ModelRerankActor`` (weights read once per
+    actor, same npz as the encoder)."""
+    return MLPCrossScorer(load_mlp_encoder(path))
+
+
 if __name__ == "__main__":  # regenerate the checked-in weights
     os.makedirs(os.path.dirname(WEIGHTS_PATH), exist_ok=True)
     np.savez(WEIGHTS_PATH, **_init_weights())

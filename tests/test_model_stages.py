@@ -248,6 +248,46 @@ def test_real_weights_mlp_encoder_through_actor_pool(ray_session):
     assert np.allclose(np.linalg.norm(got, axis=1), 1.0, atol=1e-5)
 
 
+def test_real_weights_rerank_through_actor_pool(ray_session):
+    """T6 with REAL persisted weights: `load_mlp_cross_scorer` reads
+    the checked-in npz once per actor and `ModelRerankActor` scores
+    (query, text) pairs through the CrossEncoder contract."""
+    from knowledge_graph_ray.stages.mlp_encoder import load_mlp_cross_scorer
+    from knowledge_graph_ray.stages.rerank import ModelRerankActor
+
+    tbl = pa.table(
+        {
+            "query": pa.array(["folketinget vedtog loven"] * 3),
+            "text": pa.array(
+                [
+                    "folketinget vedtog loven i dag",
+                    "the quick brown fox",
+                    "folketinget vedtog loven",
+                ]
+            ),
+        }
+    )
+    out = (
+        rd.from_arrow(tbl)
+        .map_batches(
+            ModelRerankActor,
+            fn_constructor_kwargs={"model_loader": load_mlp_cross_scorer},
+            concurrency=(1, 1),
+            batch_format="pyarrow",
+        )
+        .take_all()
+    )
+    scores = [r["rerank_score"] for r in out]
+    # actor-pool scores == a driver-local forward over the same weights
+    want = load_mlp_cross_scorer().predict(
+        list(zip(tbl.column("query").to_pylist(), tbl.column("text").to_pylist()))
+    )
+    assert np.allclose(scores, np.round(want, 6), atol=1e-6)
+    # identical pair scores 1.0; the unrelated text scores strictly lower
+    assert abs(scores[2] - 1.0) < 1e-6
+    assert scores[1] < scores[0] <= 1.0
+
+
 def test_mlp_weights_provenance():
     """The checked-in npz equals its documented generation recipe —
     guards silent corruption/drift of the weights file."""
