@@ -171,6 +171,7 @@ def triple_stage(
     batch_size=256,
     ann: str = "brute",
     link_threshold: float = 0.35,
+    tagger_loader=None,
 ) -> Dataset:
     from knowledge_graph_ray.stages.link import ExtractLinkActor
 
@@ -179,6 +180,7 @@ def triple_stage(
         fn_constructor_kwargs={
             "gazetteer": refs["gazetteer_surfaces"],
             "locations": refs["locations"],
+            "tagger_loader": tagger_loader,
             "alias_pairs": refs["alias_pairs"],
             "entity_ids": refs["entity_ids"],
             "entity_vecs": refs["entity_vecs"],
@@ -240,9 +242,17 @@ def build_kg(
     checkpoint_dir: str | None = None,
     sort_output: bool = True,
     nil_max_broadcast: int = 100_000,
+    tagger_loader=None,
 ) -> Dataset:
     """pages Dataset → lazy deduplicated triples Dataset
-    (subj, pred, obj, support, src_doc, obj_is_literal), sorted by subj."""
+    (subj, pred, obj, support, src_doc, obj_is_literal), sorted by subj.
+
+    ``tagger_loader`` (optional, the ModelNER zero-arg loader shape,
+    e.g. ``stages.tagger.load_tagger``) switches extraction from the
+    gazetteer alternation to MODEL-tagged spans (stages.openie.
+    ModelOpenIE) — real persisted weights loaded once per actor; the
+    rest of the pipeline (linking, dedup, canonicalization) is
+    unchanged."""
     refs = broadcast_entity_side(entities, aliases, locations)
     refs["gazetteer_surfaces"] = ray.put(
         [a for a, _ in ray.get(refs["alias_pairs"])]
@@ -270,6 +280,7 @@ def build_kg(
         batch_size=batch_size,
         ann=ann,
         link_threshold=link_threshold,
+        tagger_loader=tagger_loader,
     )
     triples = dedup_triples(linked)
     if canonicalize:

@@ -217,11 +217,20 @@ class ExtractLinkActor:
         gazetteer=None,
         locations=None,
         verbs=None,
+        tagger_loader=None,
         **linker_kwargs,
     ):
-        from knowledge_graph_ray.stages.openie import PatternOpenIE
+        from knowledge_graph_ray.stages.openie import ModelOpenIE, PatternOpenIE
 
-        self.ie = PatternOpenIE(gazetteer=gazetteer, locations=locations, verbs=verbs)
+        if tagger_loader is not None:
+            # model-driven extraction (ModelNER loader contract): spans
+            # from trained weights loaded once per actor, same fused
+            # one-hop layout
+            self.ie = ModelOpenIE(tagger_loader, verbs=verbs)
+        else:
+            self.ie = PatternOpenIE(
+                gazetteer=gazetteer, locations=locations, verbs=verbs
+            )
         self.linker = EntityLinker(**linker_kwargs)
 
     def __call__(self, batch: pa.Table) -> pa.Table:

@@ -205,3 +205,71 @@ class PatternOpenIE:
                 "obj_kind": pa.array(o_k, pa.string()),
             }
         )
+
+
+class ModelOpenIE:
+    """SVO extraction driven by a TRAINED tagger instead of the
+    gazetteer alternation: entity spans come from ``model_loader()``
+    (the ``ModelNER`` contract — ``predict(list[str]) ->
+    list[list[(surface, label, start, end)]]``, e.g.
+    ``stages.tagger.load_tagger``), and a triple is emitted when the
+    text between two consecutive spans is EXACTLY a verb phrase from
+    the predicate lexicon — the same
+
+        <entity-span> \\s+ <verb-phrase> \\s+ <entity-or-loc-span>
+
+    semantics as ``PatternOpenIE`` in gazetteer mode, including
+    left-to-right object consumption (a span consumed as an object is
+    not reused as the next subject, mirroring the regex's
+    non-overlapping ``finditer`` walk). Output schema is identical, so
+    the fused link stage and everything downstream is unchanged."""
+
+    def __init__(self, model_loader, verbs: dict[str, str] | None = None):
+        self.model = model_loader()  # once per actor (weights load)
+        self.verbs = dict(verbs or DEFAULT_VERBS)
+        self.gap_pattern = re.compile(
+            r"\s+(?P<v>" + "|".join(map(re.escape, sorted(self.verbs, key=len, reverse=True))) + r")\s+"
+        )
+
+    def extract(self, text: str) -> list[tuple[str, str, str, str]]:
+        spans = self.model.predict([text])[0]
+        out: list[tuple[str, str, str, str]] = []
+        consumed = -1
+        for i in range(len(spans) - 1):
+            if i == consumed:
+                continue
+            s_surf, s_lab, _, s1 = spans[i]
+            o_surf, o_lab, o0, _ = spans[i + 1]
+            if s_lab == "LOC":  # subjects are entities, not locations
+                continue
+            m = self.gap_pattern.fullmatch(text, s1, o0)
+            if m is None:
+                continue
+            kind = "loc" if o_lab == "LOC" else "ent"
+            out.append((s_surf, self.verbs[m.group("v")], o_surf, kind))
+            consumed = i + 1
+        return out
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_ids = batch.column("doc_id").to_pylist()
+        para_idx = batch.column("para_idx").to_pylist()
+        texts = batch.column("text").to_pylist()
+        o_doc, o_para, o_s, o_p, o_o, o_k = [], [], [], [], [], []
+        for did, pidx, text in zip(doc_ids, para_idx, texts):
+            for s, p, o, k in self.extract(text or ""):
+                o_doc.append(did)
+                o_para.append(pidx)
+                o_s.append(s)
+                o_p.append(p)
+                o_o.append(o)
+                o_k.append(k)
+        return pa.table(
+            {
+                "doc_id": pa.array(o_doc, pa.int64()),
+                "para_idx": pa.array(o_para, pa.int32()),
+                "subj_surface": pa.array(o_s, pa.string()),
+                "pred": pa.array(o_p, pa.string()),
+                "obj_surface": pa.array(o_o, pa.string()),
+                "obj_kind": pa.array(o_k, pa.string()),
+            }
+        )

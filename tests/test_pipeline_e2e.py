@@ -95,3 +95,29 @@ def test_checkpoint_dir_same_triples(triples_result, tmp_path, ray_session):
         (r["subj"], r["pred"], r["obj"], r["support"]) for r in triples_result
     }
     assert got == base
+
+
+def test_flagship_with_trained_tagger_matches_golden(ray_session):
+    """The WHOLE flagship (extract → segment → OpenIE → link → dedup →
+    canonicalize → sort) driven by REAL TRAINED model weights instead
+    of the gazetteer alternation: `tagger_loader` switches the fused
+    actor stage to ModelOpenIE over stages.tagger's checked-in npz
+    (spans generalize past the training index range), and the emitted
+    triple set still matches the golden P/R = 1.0 bar — the north-rule
+    gate met with a model in the loop."""
+    pages = rd.from_arrow(synth.pages_table(60))
+    from knowledge_graph_ray.stages.tagger import load_tagger
+
+    ds = build_kg(
+        pages,
+        synth.entities_table(),
+        synth.aliases_table(),
+        locations=synth.CITIES,
+        concurrency=1,
+        batch_size=64,
+        tagger_loader=load_tagger,
+    )
+    got = {(r["subj"], r["pred"], r["obj"]) for r in ds.take_all()}
+    golden = synth.golden_triples(60)
+    assert len(got & golden) / max(len(got), 1) == 1.0
+    assert len(got & golden) / max(len(golden), 1) == 1.0
