@@ -409,6 +409,86 @@ def chain_subjects(
     return cur
 
 
+def reachable_subjects(
+    triples: Dataset,
+    start: list[dict] | dict,
+    pred: str,
+    *,
+    max_rounds: int = 64,
+    num_partitions: int = 8,
+) -> Dataset:
+    """SPARQL ``pred+`` property path (transitive closure): the
+    DISTINCT nodes reachable from the seed set via ONE OR MORE
+    ``pred`` edges — the iterative fixpoint ``chain_subjects`` cannot
+    express because the hop count is not known up front (rdf_graph
+    .ipynb-family property paths; DuckDB twin = WITH RECURSIVE).
+
+    ``start`` is a conjunctive pattern list (or ``{'union': ...}``)
+    in ``subjects_matching`` form; seeds themselves appear in the
+    output only if some edge re-reaches them (≥1-hop semantics).
+
+    Execution: frontier BFS over the pred-filtered edge table. Each
+    round is one size-guarded semi-join (edges vs the NEW frontier),
+    a bucketed distinct, and one anti semi-join dropping
+    already-reached bindings, so per-round work is proportional to
+    the frontier, not the closure. Binding sets are materialized per
+    round (object-store-backed, spillable — never collected to the
+    driver). The static edge table is pinned once but re-shuffled by
+    the per-round semi-join — the same Dataset-API limitation noted
+    for iterative ops in functions/graph.py; for closures expected to
+    run >~20 rounds at corpus scale, the partition-pinned Pregel
+    actors there (edges shuffled once) are the faster substrate."""
+    import pandas as pd  # noqa: F401  (pandas batch format below)
+
+    from knowledge_graph_ray.pipelines.relational import hash_bucket_agg, semi_join
+
+    triples = triples.materialize()
+
+    def slim(batch: pa.Table) -> pa.Table:
+        return pa.table({"subj": batch.column("subj"), "obj": batch.column("obj")})
+
+    edges = (
+        triples.filter(expr=f"pred == '{pred}'")
+        .map_batches(slim, batch_format="pyarrow")
+        .materialize()
+    )
+    if isinstance(start, dict):
+        frontier = subjects_union(
+            triples, start["union"], num_partitions=num_partitions
+        )
+    else:
+        frontier = subjects_matching(triples, start, num_partitions=num_partitions)
+    frontier = frontier.materialize()
+    reached: Dataset | None = None
+    for _ in range(max_rounds):
+        hop = semi_join(edges, frontier, on="subj", num_partitions=num_partitions)
+        bound = hop.map_batches(
+            lambda b: pa.table({"subj": b.column("obj")}), batch_format="pyarrow"
+        ).map_batches(
+            lambda df: df.drop_duplicates(), batch_format="pandas", batch_size=None
+        )
+        bound = hash_bucket_agg(
+            bound,
+            ["subj"],
+            lambda df: df.drop_duplicates(),
+            num_buckets=num_partitions,
+        )
+        if reached is not None:
+            bound = semi_join(
+                bound, reached, on="subj", anti=True, num_partitions=num_partitions
+            )
+        new = bound.materialize()
+        if new.count() == 0:
+            break
+        reached = new if reached is None else reached.union(new).materialize()
+        frontier = new
+    if reached is None:
+        import ray.data as rd
+
+        return rd.from_arrow(pa.table({"subj": pa.array([], pa.string())}))
+    return reached
+
+
 def optional_hop(
     triples: Dataset,
     bindings: Dataset,

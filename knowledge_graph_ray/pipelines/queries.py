@@ -585,6 +585,87 @@ WHERE o_orderpriority = '1-URGENT'
 """
 
 
+def q_graph_reachable_orders(sf_dir: str) -> Dataset:
+    """G3 SPARQL property path ``nextOrder+`` (transitive closure —
+    the one rdf_graph.ipynb-family path shape ``chain_subjects``
+    cannot express): chain every customer's orders by date into
+    ``nextOrder`` edges, seed at orders placed in 1995-H1, and walk
+    the closure to a fixpoint (``triples.reachable_subjects``; DuckDB
+    twin = WITH RECURSIVE).
+
+    Edge construction is ONE int-keyed bucket shuffle on customer
+    (sessionize's execution shape: per-bucket vectorized sort+shift,
+    never per-group map_groups); the closure is frontier-proportional
+    per round. Chains are ~10-20 deep per customer — bounded rounds."""
+    import pandas as pd
+
+    from knowledge_graph_ray.pipelines.relational import hash_bucket_agg
+
+    orders = _read(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    )
+
+    def edge_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {
+                    "subj": pd.Series([], dtype="str"),
+                    "pred": pd.Series([], dtype="str"),
+                    "obj": pd.Series([], dtype="str"),
+                }
+            )
+        df = df.sort_values(
+            ["o_custkey", "o_orderdate", "o_orderkey"], kind="mergesort"
+        ).reset_index(drop=True)
+        nxt = df.groupby("o_custkey", sort=False)["o_orderkey"].shift(-1)
+        m = nxt.notna()
+        return pd.DataFrame(
+            {
+                "subj": "order:" + df.loc[m, "o_orderkey"].astype(str),
+                "pred": "nextOrder",
+                "obj": "order:" + nxt[m].astype("int64").astype(str),
+            }
+        )
+
+    edges = hash_bucket_agg(orders, ["o_custkey"], edge_bucket, num_buckets=32)
+    date_nodes = orders.map_batches(
+        lambda b: T.node_triples(
+            b.select(["o_orderkey", "o_orderdate"]),
+            id_col="o_orderkey",
+            node_type="order",
+        ),
+        batch_format="pyarrow",
+    )
+    return T.reachable_subjects(
+        edges.union(date_nodes),
+        [{"pred": "o_orderdate", "obj_between": ("1995-01-01", "1995-06-32")}],
+        "nextOrder",
+    )
+
+
+# the recursive CTE is the twin of the BFS fixpoint; UNION (not UNION
+# ALL) twins the per-round bucketed distinct + anti semi-join
+SQL_GRAPH_REACHABLE_ORDERS = """
+WITH RECURSIVE edges AS (
+  SELECT s, d FROM (
+    SELECT o_orderkey AS s,
+           LEAD(o_orderkey) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ) AS d
+    FROM orders
+  ) WHERE d IS NOT NULL
+), seeds AS (
+  SELECT o_orderkey FROM orders
+  WHERE CAST(o_orderdate AS VARCHAR) BETWEEN '1995-01-01' AND '1995-06-32'
+), reach AS (
+  SELECT e.d FROM edges e JOIN seeds ON e.s = seeds.o_orderkey
+  UNION
+  SELECT e.d FROM edges e JOIN reach r ON e.s = r.d
+)
+SELECT DISTINCT 'order:' || d AS subj FROM reach
+"""
+
+
 def q_docs_exact_dedup(sf_dir: str) -> Dataset:
     return dedup.exact_dedup(_read(sf_dir, "documents"))
 
@@ -2556,6 +2637,9 @@ QUERIES = {
     "warc_corpus_extract": q_warc_corpus_extract,
     "docs_compression_ratio": q_docs_compression_ratio,
     "docs_pack_sequences": q_docs_pack_sequences,
+    # round-5 addition: SPARQL property-path closure (WITH RECURSIVE
+    # twin); post-window by design — pytest-gated like the rest
+    "graph_reachable_orders": q_graph_reachable_orders,
 }
 
 ORACLE_SQL = {
@@ -2617,4 +2701,5 @@ ORACLE_SQL = {
     "docs_url_hosts": _sql_docs_url_hosts(),
     "docs_training_pairs": _sql_docs_training_pairs(),
     "docs_corpus_mix": _sql_docs_corpus_mix(),
+    "graph_reachable_orders": SQL_GRAPH_REACHABLE_ORDERS,
 }
