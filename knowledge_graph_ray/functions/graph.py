@@ -739,3 +739,174 @@ def pagerank(
         )
 
     return ranks.map_batches(finish, batch_format="pyarrow")
+
+
+@ray.remote
+class _ReachWorker:
+    """Partition-pinned reachability worker. Bucket assignment uses
+    ONE hash for both roles — a node's reached-state lives where its
+    out-edges live (h(node) == h(src)) — so marking a node reached and
+    expanding its out-edges is a single local step; messages carry
+    only destination node ids, routed by h(dst)."""
+
+    def __init__(self, bucket: int, num_buckets: int):
+        self.bucket = bucket
+        self.n = num_buckets
+        self.edges: pa.Table | None = None
+        self.reached: set = set()
+        self.seeds_pending: set | None = None
+
+    def load(self, *edge_parts: pa.Table) -> int:
+        tables = [t for t in edge_parts if t.num_rows]
+        self.edges = (
+            pa.concat_tables(tables).combine_chunks()
+            if tables
+            else pa.table(
+                {"src": pa.array([], pa.string()), "dst": pa.array([], pa.string())}
+            )
+        )
+        return self.edges.num_rows
+
+    def seed(self, *seed_parts: pa.Table) -> int:
+        vals: set = set()
+        for t in seed_parts:
+            if t.num_rows:
+                vals.update(t.column("node").to_pylist())
+        self.seeds_pending = vals
+        return len(vals)
+
+    def step(self, *msg_parts) -> list:
+        """One superstep: mark incoming nodes reached; the frontier
+        (newly reached + round-0 seeds, which expand but are NOT output
+        unless re-reached) selects local out-edges; dst ids go out
+        bucketed by h(dst). Returns [activity, msgs×n] — activity 0
+        means this worker sent nothing, so all-zero activity is the
+        global fixpoint (no messages can be in flight)."""
+        import pyarrow.compute as pc
+
+        incoming: set = set()
+        for t in msg_parts:
+            if t is not None and t.num_rows:
+                incoming.update(t.column("node").to_pylist())
+        new = incoming - self.reached
+        self.reached |= new
+        frontier = set(new)
+        if self.seeds_pending is not None:
+            frontier |= self.seeds_pending
+            self.seeds_pending = None
+        empty = pa.table({"node": pa.array([], pa.string())})
+        if not frontier:
+            return [0, *([empty] * self.n)]
+        mask = pc.is_in(
+            self.edges.column("src"),
+            value_set=pa.array(sorted(frontier), pa.string()),
+        )
+        dsts = (
+            self.edges.column("dst").filter(mask).to_pandas().drop_duplicates()
+        )
+        outs = []
+        if len(dsts):
+            buckets = hash64_array(dsts.to_numpy()) % self.n
+            for i in range(self.n):
+                outs.append(
+                    pa.table(
+                        {"node": pa.array(dsts[buckets == i], pa.string())}
+                    )
+                )
+        else:
+            outs = [empty] * self.n
+        return [len(frontier), *outs]
+
+    def result(self) -> pa.Table:
+        return pa.table({"subj": pa.array(sorted(self.reached), pa.string())})
+
+
+def reachable_pregel(
+    edges: Dataset,
+    seeds: Dataset,
+    *,
+    src: str = "subj",
+    dst: str = "obj",
+    seed_col: str = "subj",
+    num_buckets: int = 8,
+    max_iters: int = 100,
+) -> Dataset:
+    """Transitive closure (SPARQL ``pred+``) by partition-pinned
+    actors — the scale path for deep closures where the Dataset-API
+    BFS (triples.reachable_subjects) re-shuffles the static edge set
+    every round. Edges are hash-shuffled ONCE at load; each superstep
+    ships only frontier-proportional destination ids (object-store
+    refs routed by the driver, never fetched to it). Seeds expand on
+    round 0 but appear in the output only if some edge re-reaches
+    them (≥1-hop semantics, same as the Dataset path).
+
+    Partitioning assumption (100 TB): ``num_buckets`` ≥ cluster
+    cores; one bucket's edge share + reached-set must fit a worker."""
+    empty = pa.table(
+        {"src": pa.array([], pa.string()), "dst": pa.array([], pa.string())}
+    )
+    empty_seed = pa.table({"node": pa.array([], pa.string())})
+
+    @ray.remote
+    def bucketize(block) -> list:
+        if isinstance(block, pd.DataFrame):
+            block = pa.Table.from_pandas(block, preserve_index=False)
+        if block.num_rows == 0 or src not in block.column_names:
+            return [empty] * num_buckets
+        t = pa.table(
+            {
+                "src": block.column(src).combine_chunks().cast(pa.string()),
+                "dst": block.column(dst).combine_chunks().cast(pa.string()),
+            }
+        )
+        buckets = hash64_array(t.column("src").to_numpy(zero_copy_only=False)) % num_buckets
+        return [t.filter(pa.array(buckets == i)) for i in range(num_buckets)]
+
+    @ray.remote
+    def bucketize_seeds(block) -> list:
+        if isinstance(block, pd.DataFrame):
+            block = pa.Table.from_pandas(block, preserve_index=False)
+        if block.num_rows == 0 or seed_col not in block.column_names:
+            return [empty_seed] * num_buckets
+        col = block.column(seed_col).combine_chunks().cast(pa.string())
+        t = pa.table({"node": col})
+        buckets = hash64_array(col.to_numpy(zero_copy_only=False)) % num_buckets
+        return [t.filter(pa.array(buckets == i)) for i in range(num_buckets)]
+
+    parts = [
+        bucketize.options(num_returns=num_buckets).remote(ref)
+        for ref in edges.to_arrow_refs()
+    ]
+    seed_parts = [
+        bucketize_seeds.options(num_returns=num_buckets).remote(ref)
+        for ref in seeds.to_arrow_refs()
+    ]
+    if num_buckets == 1:  # num_returns=1 unwraps the list
+        parts = [[p] for p in parts]
+        seed_parts = [[p] for p in seed_parts]
+    workers = [_ReachWorker.remote(i, num_buckets) for i in range(num_buckets)]
+    ray.get(
+        [w.load.remote(*[row[i] for row in parts]) for i, w in enumerate(workers)]
+    )
+    ray.get(
+        [
+            w.seed.remote(*[row[i] for row in seed_parts])
+            for i, w in enumerate(workers)
+        ]
+    )
+    inbox: list[list] = [[] for _ in range(num_buckets)]
+    for _ in range(max_iters):
+        outs = [
+            w.step.options(num_returns=num_buckets + 1).remote(*inbox[i])
+            for i, w in enumerate(workers)
+        ]
+        activity = ray.get([o[0] for o in outs])
+        inbox = [
+            [outs[s][1 + t] for s in range(num_buckets)]
+            for t in range(num_buckets)
+        ]
+        if sum(activity) == 0:
+            break
+    import ray.data as rd
+
+    return rd.from_arrow_refs([w.result.remote() for w in workers])

@@ -489,6 +489,38 @@ def reachable_subjects(
     return reached
 
 
+def reachable_subjects_pregel(
+    triples: Dataset,
+    start: list[dict] | dict,
+    pred: str,
+    *,
+    max_rounds: int = 100,
+    num_partitions: int = 8,
+) -> Dataset:
+    """Same result as ``reachable_subjects``, computed by the
+    partition-pinned Pregel actors (functions.graph.reachable_pregel):
+    edges shuffled ONCE, supersteps ship only frontier ids — the scale
+    path for deep closures (the Dataset BFS pays a static-edge
+    re-shuffle per round)."""
+    from knowledge_graph_ray.functions.graph import reachable_pregel
+
+    triples = triples.materialize()
+
+    def slim(batch: pa.Table) -> pa.Table:
+        return pa.table({"subj": batch.column("subj"), "obj": batch.column("obj")})
+
+    edges = triples.filter(expr=f"pred == '{pred}'").map_batches(
+        slim, batch_format="pyarrow"
+    )
+    if isinstance(start, dict):
+        seeds = subjects_union(triples, start["union"], num_partitions=num_partitions)
+    else:
+        seeds = subjects_matching(triples, start, num_partitions=num_partitions)
+    return reachable_pregel(
+        edges, seeds, num_buckets=num_partitions, max_iters=max_rounds
+    )
+
+
 def optional_hop(
     triples: Dataset,
     bindings: Dataset,

@@ -585,7 +585,7 @@ WHERE o_orderpriority = '1-URGENT'
 """
 
 
-def q_graph_reachable_orders(sf_dir: str) -> Dataset:
+def _reachable_orders_input(sf_dir: str):
     """G3 SPARQL property path ``nextOrder+`` (transitive closure —
     the one rdf_graph.ipynb-family path shape ``chain_subjects``
     cannot express): chain every customer's orders by date into
@@ -636,11 +636,21 @@ def q_graph_reachable_orders(sf_dir: str) -> Dataset:
         ),
         batch_format="pyarrow",
     )
-    return T.reachable_subjects(
-        edges.union(date_nodes),
-        [{"pred": "o_orderdate", "obj_between": ("1995-01-01", "1995-06-32")}],
-        "nextOrder",
-    )
+    start = [{"pred": "o_orderdate", "obj_between": ("1995-01-01", "1995-06-32")}]
+    return edges.union(date_nodes), start
+
+
+def q_graph_reachable_orders(sf_dir: str) -> Dataset:
+    triples_ds, start = _reachable_orders_input(sf_dir)
+    return T.reachable_subjects(triples_ds, start, "nextOrder")
+
+
+def q_graph_reachable_orders_pregel(sf_dir: str) -> Dataset:
+    """Same closure via the partition-pinned Pregel actors (edges
+    shuffled once; supersteps ship only frontier ids) — the scale
+    path; shares the WITH RECURSIVE oracle with the Dataset BFS."""
+    triples_ds, start = _reachable_orders_input(sf_dir)
+    return T.reachable_subjects_pregel(triples_ds, start, "nextOrder")
 
 
 # the recursive CTE is the twin of the BFS fixpoint; UNION (not UNION
@@ -2640,6 +2650,7 @@ QUERIES = {
     # round-5 addition: SPARQL property-path closure (WITH RECURSIVE
     # twin); post-window by design — pytest-gated like the rest
     "graph_reachable_orders": q_graph_reachable_orders,
+    "graph_reachable_orders_pregel": q_graph_reachable_orders_pregel,
 }
 
 ORACLE_SQL = {
@@ -2702,4 +2713,5 @@ ORACLE_SQL = {
     "docs_training_pairs": _sql_docs_training_pairs(),
     "docs_corpus_mix": _sql_docs_corpus_mix(),
     "graph_reachable_orders": SQL_GRAPH_REACHABLE_ORDERS,
+    "graph_reachable_orders_pregel": SQL_GRAPH_REACHABLE_ORDERS,
 }

@@ -304,3 +304,64 @@ def test_chain_subjects_union_start_and_hop(ray_session):
     ).take_all()
     # case:3 (closed, 2024) -> actor:7; case:2 (date>2025) -> actor:9
     assert sorted(r["subj"] for r in out) == ["actor:7", "actor:9"]
+
+
+def _reach_fixture():
+    """Crafted pred+ graph: chain with branch, a cycle that re-reaches
+    a seed, a disconnected component, and a non-matching pred edge."""
+    rows = [
+        # chain a->b->c, branch b->d
+        ("a", "next", "b"), ("b", "next", "c"), ("b", "next", "d"),
+        # cycle e->f->e (e is a seed: must appear, re-reached via f)
+        ("e", "next", "f"), ("f", "next", "e"),
+        # disconnected x->y (never reached: x is not a seed)
+        ("x", "next", "y"),
+        # wrong predicate must be ignored
+        ("a", "other", "x"),
+        # seed markers (the pattern seeds on pred='is_seed')
+        ("a", "is_seed", "1"), ("e", "is_seed", "1"),
+    ]
+    return rd.from_arrow(
+        pa.table(
+            {
+                "subj": pa.array([r[0] for r in rows]),
+                "pred": pa.array([r[1] for r in rows]),
+                "obj": pa.array([r[2] for r in rows]),
+            }
+        )
+    )
+
+
+def test_reachable_subjects_semantics(ray_session):
+    triples_ds = _reach_fixture()
+    want = {"b", "c", "d", "f", "e"}  # e re-reached through the cycle
+    got = {
+        r["subj"]
+        for r in T.reachable_subjects(
+            triples_ds, [{"pred": "is_seed", "obj_in": ["1"]}], "next",
+            num_partitions=2,
+        ).take_all()
+    }
+    assert got == want
+
+
+def test_reachable_pregel_matches_dataset_path(ray_session):
+    triples_ds = _reach_fixture()
+    start = [{"pred": "is_seed", "obj_in": ["1"]}]
+    a = {
+        r["subj"]
+        for r in T.reachable_subjects(
+            triples_ds, start, "next", num_partitions=2
+        ).take_all()
+    }
+    b = {
+        r["subj"]
+        for r in T.reachable_subjects_pregel(
+            triples_ds, start, "next", num_partitions=3
+        ).take_all()
+    }
+    assert a == b == {"b", "c", "d", "f", "e"}
+    # no seeds -> empty closure on both paths
+    none_start = [{"pred": "is_seed", "obj_in": ["nope"]}]
+    assert T.reachable_subjects(triples_ds, none_start, "next").count() == 0
+    assert T.reachable_subjects_pregel(triples_ds, none_start, "next").count() == 0
