@@ -2583,6 +2583,10 @@ QUERIES = {
     # graph_2hop cycles out to make room (its chain builder is fully
     # exercised by graph_3hop_items; still pytest-gated post-window)
     "graph_union_filter": q_graph_union_filter,
+    # round-5 addition: property-path closure (WITH RECURSIVE twin),
+    # Pregel path (10 s at sf0.01); corpus_paragraphs cycles out to
+    # make room (rows-only, fully covered by the corpus tests)
+    "graph_reachable_orders_pregel": q_graph_reachable_orders_pregel,
     "docs_exact_dedup": q_docs_exact_dedup,
     "docs_incremental_dedup": q_docs_incremental_dedup,
     "docs_token_counts": q_docs_token_counts,
@@ -2621,7 +2625,6 @@ QUERIES = {
     "kg_flagship": q_kg_flagship,
     "docs_wordpiece": q_docs_wordpiece,
     "search_ranked_contexts": q_search_ranked_contexts,
-    "corpus_paragraphs": q_corpus_paragraphs,
     "mention_canonicalization": q_mention_canonicalization,
     # --- after the driver's 50-row window: families above keep a row;
     # each of these stays pytest-gated (and was driver-green in r03)
@@ -2629,6 +2632,7 @@ QUERIES = {
     # pre-cap row (asof stays for range; minhash/embedding stay for
     # jaccard) and every demoted oracle remains pytest-gated
     "graph_2hop": q_graph_2hop,
+    "corpus_paragraphs": q_corpus_paragraphs,
     "events_range_clicks": q_events_range_clicks,
     "docs_ngram_jaccard_pairs": q_docs_ngram_jaccard_pairs,
     "docs_sample_md5": q_docs_sample_md5,
