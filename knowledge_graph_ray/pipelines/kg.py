@@ -483,6 +483,7 @@ def run_kg_resumable(
     concurrency: int | tuple = (1, 4),
     batch_size: int = 1024,
     resume: bool = True,
+    tagger_loader=None,
 ) -> dict:
     """Checkpointed flagship run: input pages parquet dir → per-shard
     triple extraction (resumable, SURVEY.md §4) → global merge →
@@ -504,7 +505,12 @@ def run_kg_resumable(
     def build(shard_pages: Dataset) -> Dataset:
         paras = extract_and_segment(shard_pages)
         linked = triple_stage(
-            paras, refs, None, concurrency=concurrency, batch_size=batch_size
+            paras,
+            refs,
+            None,
+            concurrency=concurrency,
+            batch_size=batch_size,
+            tagger_loader=tagger_loader,
         )
         return dedup_triples(linked)  # per-shard local dedup
 

@@ -43,7 +43,17 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--shards", type=int, default=8)
     p.add_argument("--resume", action="store_true", default=True)
     p.add_argument("--no-resume", dest="resume", action="store_false")
+    # actor pools use AUTOSCALING (1, N): a fixed pool of N actors at
+    # num_cpus == N starves the task stages feeding it (observed: 300
+    # pages hung 9+ min at --num-cpus 4; autoscaled, the same run is
+    # seconds) — the same rule the library defaults follow
     p.add_argument("--concurrency", type=int, default=4)
+    p.add_argument(
+        "--model-tagger",
+        action="store_true",
+        help="extract with the trained BIO tagger weights (ModelOpenIE) "
+        "instead of the gazetteer alternation",
+    )
     p.add_argument("--batch-size", type=int, default=2048)
     args = p.parse_args(argv)
 
@@ -70,9 +80,16 @@ def main(argv: list[str] | None = None) -> int:
                 args.out,
                 locations=synth.CITIES,
                 n_shards=args.shards,
-                concurrency=args.concurrency,
+                concurrency=(1, args.concurrency),
                 batch_size=args.batch_size,
                 resume=args.resume,
+                tagger_loader=(
+                    __import__(
+                        "knowledge_graph_ray.stages.tagger", fromlist=["load_tagger"]
+                    ).load_tagger
+                    if args.model_tagger
+                    else None
+                ),
             )
             print(json.dumps(report))
         elif args.command == "corpus":
@@ -81,7 +98,7 @@ def main(argv: list[str] | None = None) -> int:
 
             out = build_corpus(
                 rd.read_parquet(args.pages_dir),
-                concurrency=args.concurrency,
+                concurrency=(1, args.concurrency),
                 batch_size=args.batch_size,
             )
             out.write_parquet(args.out)
@@ -93,7 +110,7 @@ def main(argv: list[str] | None = None) -> int:
 
             paras = build_corpus(
                 rd.read_parquet(args.pages_dir), near_dup=False, normalize=False,
-                concurrency=args.concurrency, batch_size=args.batch_size,
+                concurrency=(1, args.concurrency), batch_size=args.batch_size,
             )
             queries = list(enumerate(args.query))
             tbl = search(queries, paras)
