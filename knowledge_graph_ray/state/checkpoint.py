@@ -49,17 +49,34 @@ def shard_input_files(
     input_dir: str, n_shards: int, *, filesystem=None
 ) -> dict[str, list[str]]:
     """Deterministically group the parquet files of a directory into
-    n_shards named shards (round-robin over the sorted listing)."""
+    up to n_shards named shards, assigned by a stable HASH of each
+    file's basename (not round-robin position): a crawl increment
+    that drops new files into the directory changes only the shards
+    the new files hash into — every untouched shard keeps its exact
+    file set, its manifest fingerprint still matches, and resume
+    recomputes work proportional to the increment, not the corpus.
+    (Position-based assignment reshuffled EVERY shard when one file
+    was added.) Empty shards are simply absent. Increment-stability
+    holds once the directory holds ≥ n_shards files (the modulus is
+    then pinned at n_shards — always true at corpus scale; tiny
+    directories below that may still reshuffle as the modulus
+    grows)."""
     fsys, root = fsio.resolve_fs(input_dir, filesystem)
     files = [
         fsio.join(input_dir, f)
         for f in fsio.listdir(fsys, root, suffix=".parquet")
     ]
-    shards: dict[str, list[str]] = {
-        f"{i:04d}": [] for i in range(min(n_shards, len(files)))
-    }
-    for i, f in enumerate(files):
-        shards[f"{i % len(shards):04d}"].append(f)
+    n = max(1, min(n_shards, len(files)))
+    shards: dict[str, list[str]] = {}
+    for f in sorted(files):
+        # md5 of the basename: stable across runs, machines, and
+        # mounts (the directory prefix may differ between local and
+        # object-store views of the same corpus)
+        name = f.rsplit("/", 1)[-1]
+        b = int.from_bytes(
+            hashlib.md5(name.encode()).digest()[:8], "big"
+        ) % n
+        shards.setdefault(f"{b:04d}", []).append(f)
     return shards
 
 
