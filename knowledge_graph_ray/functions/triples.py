@@ -416,6 +416,7 @@ def reachable_subjects(
     *,
     max_rounds: int = 64,
     num_partitions: int = 8,
+    closure: str = "plus",
 ) -> Dataset:
     """SPARQL ``pred+`` property path (transitive closure): the
     DISTINCT nodes reachable from the seed set via ONE OR MORE
@@ -426,6 +427,10 @@ def reachable_subjects(
     ``start`` is a conjunctive pattern list (or ``{'union': ...}``)
     in ``subjects_matching`` form; seeds themselves appear in the
     output only if some edge re-reaches them (≥1-hop semantics).
+    ``closure='star'`` gives ``pred*`` (zero-or-more: the seed set is
+    unioned into the result); a finite ``max_rounds`` under
+    ``'plus'``/``'star'`` is the bounded path ``pred{1,k}`` /
+    ``pred{0,k}`` (BFS rounds == path length).
 
     Execution: frontier BFS over the pred-filtered edge table. Each
     round is one size-guarded semi-join (edges vs the NEW frontier),
@@ -452,6 +457,8 @@ def reachable_subjects(
         .map_batches(slim, batch_format="pyarrow")
         .materialize()
     )
+    if closure not in ("plus", "star"):
+        raise ValueError(f"closure must be 'plus' or 'star', got {closure!r}")
     if isinstance(start, dict):
         frontier = subjects_union(
             triples, start["union"], num_partitions=num_partitions
@@ -459,6 +466,7 @@ def reachable_subjects(
     else:
         frontier = subjects_matching(triples, start, num_partitions=num_partitions)
     frontier = frontier.materialize()
+    seeds = frontier
     reached: Dataset | None = None
     for _ in range(max_rounds):
         hop = semi_join(edges, frontier, on="subj", num_partitions=num_partitions)
@@ -482,6 +490,15 @@ def reachable_subjects(
             break
         reached = new if reached is None else reached.union(new).materialize()
         frontier = new
+    if closure == "star":
+        # pred*: seeds are reachable via zero hops — union + distinct
+        reached = seeds if reached is None else reached.union(seeds)
+        return hash_bucket_agg(
+            reached,
+            ["subj"],
+            lambda df: df.drop_duplicates(),
+            num_buckets=num_partitions,
+        )
     if reached is None:
         import ray.data as rd
 
@@ -496,12 +513,16 @@ def reachable_subjects_pregel(
     *,
     max_rounds: int = 100,
     num_partitions: int = 8,
+    closure: str = "plus",
 ) -> Dataset:
     """Same result as ``reachable_subjects``, computed by the
     partition-pinned Pregel actors (functions.graph.reachable_pregel):
     edges shuffled ONCE, supersteps ship only frontier ids — the scale
     path for deep closures (the Dataset BFS pays a static-edge
-    re-shuffle per round)."""
+    re-shuffle per round). For BOUNDED paths note the superstep
+    accounting differs: round 0 here only expands the seeds, so k hops
+    take ``max_rounds = k + 1`` (the Dataset path's round == hop); at
+    the default bounds both reach the full fixpoint and agree."""
     from knowledge_graph_ray.functions.graph import reachable_pregel
 
     triples = triples.materialize()
@@ -512,13 +533,26 @@ def reachable_subjects_pregel(
     edges = triples.filter(expr=f"pred == '{pred}'").map_batches(
         slim, batch_format="pyarrow"
     )
+    if closure not in ("plus", "star"):
+        raise ValueError(f"closure must be 'plus' or 'star', got {closure!r}")
     if isinstance(start, dict):
         seeds = subjects_union(triples, start["union"], num_partitions=num_partitions)
     else:
         seeds = subjects_matching(triples, start, num_partitions=num_partitions)
-    return reachable_pregel(
+    seeds = seeds.materialize()  # consumed by pregel AND the star union
+    out = reachable_pregel(
         edges, seeds, num_buckets=num_partitions, max_iters=max_rounds
     )
+    if closure == "star":
+        from knowledge_graph_ray.pipelines.relational import hash_bucket_agg
+
+        return hash_bucket_agg(
+            out.union(seeds),
+            ["subj"],
+            lambda df: df.drop_duplicates(),
+            num_buckets=num_partitions,
+        )
+    return out
 
 
 def optional_hop(

@@ -365,3 +365,32 @@ def test_reachable_pregel_matches_dataset_path(ray_session):
     none_start = [{"pred": "is_seed", "obj_in": ["nope"]}]
     assert T.reachable_subjects(triples_ds, none_start, "next").count() == 0
     assert T.reachable_subjects_pregel(triples_ds, none_start, "next").count() == 0
+
+
+def test_reachable_star_and_bounded(ray_session):
+    """pred* (zero-or-more: seeds included) and pred{1,k} (bounded
+    rounds) on both the Dataset and Pregel paths."""
+    triples_ds = _reach_fixture()
+    start = [{"pred": "is_seed", "obj_in": ["1"]}]
+    star = {"a", "e", "b", "c", "d", "f"}
+    got_ds = {
+        r["subj"]
+        for r in T.reachable_subjects(
+            triples_ds, start, "next", closure="star", num_partitions=2
+        ).take_all()
+    }
+    got_pg = {
+        r["subj"]
+        for r in T.reachable_subjects_pregel(
+            triples_ds, start, "next", closure="star", num_partitions=2
+        ).take_all()
+    }
+    assert got_ds == got_pg == star
+    # bounded pred{1,1}: exactly one hop from the seeds
+    one_hop = {
+        r["subj"]
+        for r in T.reachable_subjects(
+            triples_ds, start, "next", max_rounds=1, num_partitions=2
+        ).take_all()
+    }
+    assert one_hop == {"b", "f"}
