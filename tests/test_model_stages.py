@@ -450,3 +450,25 @@ def test_tagger_matches_gazetteer_on_corpus_paragraphs():
         assert got == want, para[:160]
         n_want += len(want)
     assert n_want > 100  # the corpus actually exercised the tagger
+
+
+def test_tagger_sparse_inference_matches_dense():
+    """The sparse memoized-logit fast path labels every token of the
+    synthetic corpus identically to the dense matmul reference
+    (summation order differs, so this agreement is the gate that lets
+    the fast path ship)."""
+    from knowledge_graph_ray.functions.extract import extract_batch
+    from knowledge_graph_ray.functions.segment import paragraphs_batch
+    from knowledge_graph_ray.sources import synth
+    from knowledge_graph_ray.stages.tagger import load_tagger
+
+    t = load_tagger()
+    paras = paragraphs_batch(extract_batch(synth.pages_table(80)))
+    n_tokens = 0
+    for text in paras.column("text").to_pylist():
+        toks_s, lab_s = t._tag_tokens(text)
+        toks_d, lab_d = t._tag_tokens_dense(text)
+        assert [m.span() for m in toks_s] == [m.span() for m in toks_d]
+        assert lab_s.tolist() == lab_d.tolist(), text[:120]
+        n_tokens += len(toks_s)
+    assert n_tokens > 5000
