@@ -472,3 +472,46 @@ def test_tagger_sparse_inference_matches_dense():
         assert lab_s.tolist() == lab_d.tolist(), text[:120]
         n_tokens += len(toks_s)
     assert n_tokens > 5000
+
+
+def test_model_openie_prefix_verbs_and_verb_surfaces():
+    """Two PatternOpenIE fast-path hazards that ModelOpenIE must not
+    share: verb phrases where one is a proper prefix of another
+    (regex finditer consumes the longer hit and never retries — the
+    pattern engine falls back to a full scan), and entity surfaces
+    CONTAINING a verb word (disables the verb-anchored walk). The
+    model path's anchored gap fullmatch between consecutive spans
+    handles both directly; pin equality against the full-scan regex
+    engine on both."""
+    from knowledge_graph_ray.stages.openie import ModelOpenIE, PatternOpenIE
+
+    verbs = {"works for": "works_for", "works": "works"}
+    gaz = ["Alpha Corp", "Beta works Council", "Yard"]
+
+    class FixedTagger:
+        """Spans for the crafted sentences (ModelNER predict shape)."""
+
+        def predict(self, texts):
+            out = []
+            for t in texts:
+                spans = []
+                for surf in gaz:
+                    p = t.find(surf)
+                    if p >= 0:
+                        spans.append((surf, "ORG", p, p + len(surf)))
+                out.append(sorted(spans, key=lambda s: s[2]))
+            return out
+
+    pat = PatternOpenIE(gazetteer=gaz, locations=[], verbs=verbs)
+    assert pat.verb_pattern is None  # both hazards force the full scan
+    mod = ModelOpenIE(FixedTagger, verbs=verbs)
+    cases = [
+        # prefix pair: 'works for Yard' must bind the LONGER verb
+        "Alpha Corp works for Yard today",
+        # 'works' inside a surface must not anchor a triple
+        "Beta works Council works for Alpha Corp",
+        # bare shorter verb
+        "Alpha Corp works Yard",
+    ]
+    for text in cases:
+        assert mod.extract(text) == pat.extract(text), text
