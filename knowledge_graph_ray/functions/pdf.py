@@ -235,41 +235,102 @@ def _parse_cmap(data: bytes) -> tuple[int, dict[int, str]] | None:
             else:
                 base = int(dst[1:-1], 16)
                 for c in range(lo, hi + 1):
-                    mapping[c] = chr(min(base + (c - lo), 0x10FFFF))
+                    cp = base + (c - lo)
+                    # lone surrogates are not encodable (Arrow string
+                    # builders raise) — a hostile/garbage base must
+                    # degrade to U+FFFD, same as _utf16be's 'replace'
+                    if cp > 0x10FFFF or 0xD800 <= cp <= 0xDFFF:
+                        mapping[c] = "�"
+                    else:
+                        mapping[c] = chr(cp)
     return (width, mapping) if mapping else None
 
 
 def _font_cmaps(payload: bytes) -> dict[str, tuple[int, dict[int, str]]]:
-    """Resource font name (e.g. ``F1``) → parsed ToUnicode CMap, by
-    walking ``N G obj`` bodies textually: font objects carrying
-    ``/ToUnicode M 0 R`` + ``/Font << /Fx N 0 R >>`` resource dicts
-    (no xref needed — same clean-room minimalism as the extractor)."""
+    """Flat resource-name → CMap map (all pages merged, last wins) —
+    the fallback when a content stream cannot be tied to a page."""
+    return _page_font_cmaps(payload)[1]
+
+
+def _page_font_cmaps(
+    payload: bytes,
+) -> tuple[dict[int, dict[str, tuple[int, dict[int, str]]]], dict]:
+    """(content-object-number → font name → CMap, merged fallback map),
+    by walking ``N G obj`` bodies textually: font objects carrying
+    ``/ToUnicode M 0 R``, page objects carrying ``/Contents`` refs and
+    ``/Font << /Fx N 0 R >>`` resource dicts (inline or via
+    ``/Resources M 0 R``). Page scoping matters: every page reuses the
+    same local names (``/F1``), so one global map applied the LAST
+    page's CMap to every page (no xref needed — same clean-room
+    minimalism as the extractor)."""
     objs = {int(m.group(1)): m.group(2) for m in _OBJ_RE.finditer(payload)}
     font_tu: dict[int, int] = {}
-    name_to_obj: dict[str, int] = {}
     for num, body in objs.items():
         tu = re.search(rb"/ToUnicode\s+(\d+)\s+\d+\s+R", body)
         if tu:
             font_tu[num] = int(tu.group(1))
-        fm = re.search(rb"/Font\s*<<(.*?)>>", body, re.DOTALL)
-        if fm:
-            for nm in re.finditer(rb"/([A-Za-z0-9.+-]+)\s+(\d+)\s+\d+\s+R", fm.group(1)):
-                name_to_obj[nm.group(1).decode("latin-1")] = int(nm.group(2))
-    out: dict[str, tuple[int, dict[int, str]]] = {}
-    for name, fobj in name_to_obj.items():
+
+    cmap_cache: dict[int, tuple[int, dict[int, str]] | None] = {}
+
+    def cmap_of(fobj: int):
+        if fobj in cmap_cache:
+            return cmap_cache[fobj]
+        out = None
         tu_obj = font_tu.get(fobj)
-        if tu_obj is None or tu_obj not in objs:
+        if tu_obj is not None and tu_obj in objs:
+            sm = _STREAM_RE.search(objs[tu_obj])
+            if sm:
+                data = _decode_stream(sm.group(1), sm.group(2))
+                if data is not None:
+                    out = _parse_cmap(data)
+        cmap_cache[fobj] = out
+        return out
+
+    def fonts_in(body: bytes) -> dict[str, int]:
+        fm = re.search(rb"/Font\s*<<(.*?)>>", body, re.DOTALL)
+        if not fm:
+            return {}
+        return {
+            nm.group(1).decode("latin-1"): int(nm.group(2))
+            for nm in re.finditer(
+                rb"/([A-Za-z0-9.+-]+)\s+(\d+)\s+\d+\s+R", fm.group(1)
+            )
+        }
+
+    scoped: dict[int, dict[str, tuple[int, dict[int, str]]]] = {}
+    merged: dict[str, tuple[int, dict[int, str]]] = {}
+    for num, body in objs.items():
+        name_to_obj = fonts_in(body)
+        if not name_to_obj:
+            rm = re.search(rb"/Resources\s+(\d+)\s+\d+\s+R", body)
+            if rm and int(rm.group(1)) in objs:
+                name_to_obj = fonts_in(objs[int(rm.group(1))])
+        if not name_to_obj:
             continue
-        sm = _STREAM_RE.search(objs[tu_obj])
-        if not sm:
-            continue
-        data = _decode_stream(sm.group(1), sm.group(2))
-        if data is None:
-            continue
-        cmap = _parse_cmap(data)
-        if cmap:
-            out[name] = cmap
-    return out
+        fmap = {}
+        for name, fobj in name_to_obj.items():
+            cm = cmap_of(fobj)
+            if cm:
+                fmap[name] = cm
+        merged.update(fmap)
+        # register the scope even when fmap is EMPTY: this page's fonts
+        # are known to have no CMaps, so its content must decode
+        # literally — falling back to `merged` here would re-create the
+        # cross-page collision for plain-font pages
+        # tie the page's font map to its content stream object(s)
+        refs: list[int] = []
+        cm1 = re.search(rb"/Contents\s+(\d+)\s+\d+\s+R", body)
+        if cm1:
+            refs.append(int(cm1.group(1)))
+        carr = re.search(rb"/Contents\s*\[(.*?)\]", body, re.DOTALL)
+        if carr:
+            refs.extend(
+                int(r.group(1))
+                for r in re.finditer(rb"(\d+)\s+\d+\s+R", carr.group(1))
+            )
+        for ref in refs:
+            scoped.setdefault(ref, {}).update(fmap)
+    return scoped, merged
 
 
 def extract_pdf_text(payload: bytes) -> str:
@@ -280,18 +341,38 @@ def extract_pdf_text(payload: bytes) -> str:
         raise TypeError("extract_pdf_text expects bytes")
     payload = bytes(payload)
     try:
-        cmaps = _font_cmaps(payload)
+        scoped, merged = _page_font_cmaps(payload)
     except Exception:
-        cmaps = {}
-    pages: list[str] = []
-    for m in _STREAM_RE.finditer(payload):
-        content = _decode_stream(m.group(1), m.group(2))
+        scoped, merged = {}, {}
+
+    def stream_text(content: bytes, cmaps) -> str | None:
         if content is None or b"BT" not in content:
-            continue
+            return None
         if b"begincmap" in content or b"beginbfchar" in content:
-            continue  # a CMap stream, not page content
+            return None  # a CMap stream, not page content
         blocks = [_block_text(b, cmaps) for b in _TEXT_BLOCK_RE.findall(content)]
-        text = "\n".join(b for b in blocks if b)
+        return "\n".join(b for b in blocks if b)
+
+    # object walk first: a content stream inside `N 0 obj` uses ITS
+    # page's font map (every page names its fonts /F1, /F2, ... — a
+    # flat map silently decoded all pages through the last page's CMap)
+    pages: list[str] = []
+    for om in _OBJ_RE.finditer(payload):
+        sm = _STREAM_RE.search(om.group(2))
+        if not sm:
+            continue
+        text = stream_text(
+            _decode_stream(sm.group(1), sm.group(2)),
+            scoped.get(int(om.group(1)), merged),
+        )
+        if text:
+            pages.append(text)
+    if pages:
+        return "\n".join(pages)
+    # fallback for malformed files whose streams sit outside parseable
+    # objects: the old whole-payload scan with the merged font map
+    for m in _STREAM_RE.finditer(payload):
+        text = stream_text(_decode_stream(m.group(1), m.group(2)), merged)
         if text:
             pages.append(text)
     return "\n".join(pages)

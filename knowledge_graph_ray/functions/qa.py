@@ -169,11 +169,14 @@ def training_pairs(
     negative distribution corpus-wide while staying oracle-checkable
     and resume-stable.
 
-    ids are floor-modded into [0, n_docs) BEFORE the affine multiply:
-    md5-derived int64 doc_ids are negative ~half the time, and a
-    trunc-mod negative key would silently drop those negatives at the
-    join (and the raw multiply could wrap int64 where the SQL twin
-    raises).
+    CONTRACT: doc ids must be DENSE [0, n_docs) — the drawn key is a
+    mod-space value joined against ``docs.doc_id`` directly, so sparse
+    ids (e.g. ingest's md5-derived int64s) would silently produce ZERO
+    negative rows. ``with_key`` asserts the range per batch and raises
+    with a remap hint instead of degrading silently. The floor-mods
+    below are overflow hygiene for the affine multiply (identity on
+    in-range ids; the SQL twin's multiply would raise where int64
+    wraps).
 
     Distributed shape: positives are a pure per-batch projection; the
     negative lookup is one hash join of the (small) pair table against
@@ -205,8 +208,15 @@ def training_pairs(
         return pc.if_else(pc.less(r, 0), pc.add(r, n_docs), r)
 
     def with_key(batch: pa.Table) -> pa.Table:
-        # reduce ids into [0, n_docs) first: keeps the affine multiply
-        # far from int64 overflow and makes % a true mod for negatives
+        ids = batch.column("doc_id")
+        if batch.num_rows and not (
+            pc.min(ids).as_py() >= 0 and pc.max(ids).as_py() < n_docs
+        ):
+            raise ValueError(
+                "training_pairs requires dense doc ids in [0, n_docs): "
+                "got ids outside that range (md5-derived ids from ingest "
+                "must be remapped first, e.g. rank documents by doc_id)"
+            )
         key = floor_mod(
             pc.add(
                 pc.add(

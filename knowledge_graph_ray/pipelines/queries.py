@@ -1989,7 +1989,7 @@ def q_media_features(sf_dir: str) -> Dataset:
     from knowledge_graph_ray.stages import multimodal as mm
 
     ds = rd.from_arrow(mm.synth_media_table(48))
-    feats, _, _ = mm.media_pipeline(ds, concurrency=(1, 2), batch_size=8)
+    feats, _, _ = mm.media_pipeline(ds, concurrency=(1, 2), batch_size=8, ffmpeg=None)
     return feats.drop_columns(["payload", "embedding"])
 
 
@@ -2002,7 +2002,7 @@ def q_media_frames(sf_dir: str) -> Dataset:
     from knowledge_graph_ray.stages import multimodal as mm
 
     ds = rd.from_arrow(mm.synth_media_table(48))
-    _, frames, _ = mm.media_pipeline(ds, concurrency=(1, 2), batch_size=8)
+    _, frames, _ = mm.media_pipeline(ds, concurrency=(1, 2), batch_size=8, ffmpeg=None)
 
     def sizes(batch: pa.Table) -> pa.Table:
         lens = [len(p) for p in batch.column("payload").to_pylist()]
@@ -2019,7 +2019,7 @@ def q_media_audio_features(sf_dir: str) -> Dataset:
     from knowledge_graph_ray.stages import multimodal as mm
 
     ds = rd.from_arrow(mm.synth_media_table(48))
-    _, _, audio = mm.media_pipeline(ds, concurrency=(1, 2), batch_size=8)
+    _, _, audio = mm.media_pipeline(ds, concurrency=(1, 2), batch_size=8, ffmpeg=None)
     return audio.drop_columns(["payload", "embedding"])
 
 
@@ -2651,10 +2651,9 @@ QUERIES = {
     "warc_corpus_extract": q_warc_corpus_extract,
     "docs_compression_ratio": q_docs_compression_ratio,
     "docs_pack_sequences": q_docs_pack_sequences,
-    # round-5 addition: SPARQL property-path closure (WITH RECURSIVE
-    # twin); post-window by design — pytest-gated like the rest
+    # round-5 addition: the Dataset-BFS twin of the in-window Pregel
+    # closure; post-window by design — pytest-gated like the rest
     "graph_reachable_orders": q_graph_reachable_orders,
-    "graph_reachable_orders_pregel": q_graph_reachable_orders_pregel,
 }
 
 ORACLE_SQL = {

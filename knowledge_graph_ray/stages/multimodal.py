@@ -434,9 +434,17 @@ class FrameSampleActor:
         )
 
 
-def media_pipeline(ds, *, concurrency=2, batch_size: int = 8):
+def media_pipeline(
+    ds, *, concurrency=2, batch_size: int = 8, ffmpeg: str | None = "auto"
+):
     """images → decode → features; audio → decode → features; videos →
-    frame-sample. Small batch_size: payloads are wide binary rows."""
+    frame-sample. Small batch_size: payloads are wide binary rows.
+
+    ``ffmpeg`` is threaded to the audio/video actors: ``"auto"`` probes
+    PATH once per actor (deploy default), ``None`` pins the pure-Python
+    stub path — synthetic/stub corpora MUST pass ``None`` so pipeline
+    output does not flip with the host's PATH contents (the synth mp4
+    stubs are not real media; a host ffmpeg would quarantine them)."""
     images = ds.filter(expr="kind == 'image'").map_batches(
         ImageDecodeActor,
         concurrency=concurrency,
@@ -451,6 +459,7 @@ def media_pipeline(ds, *, concurrency=2, batch_size: int = 8):
     )
     audio = ds.filter(expr="kind == 'audio'").map_batches(
         AudioDecodeActor,
+        fn_constructor_kwargs={"ffmpeg": ffmpeg},
         concurrency=concurrency,
         batch_size=batch_size,
         batch_format="pyarrow",
@@ -463,6 +472,7 @@ def media_pipeline(ds, *, concurrency=2, batch_size: int = 8):
     )
     frames = ds.filter(expr="kind == 'video'").map_batches(
         FrameSampleActor,
+        fn_constructor_kwargs={"ffmpeg": ffmpeg},
         concurrency=concurrency,
         batch_size=batch_size,
         batch_format="pyarrow",

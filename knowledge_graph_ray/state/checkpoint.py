@@ -37,10 +37,14 @@ from knowledge_graph_ray.state import fsio
 
 
 def fingerprint_files(paths: list[str], *, filesystem=None) -> str:
+    """md5 over (basename, size) pairs — basenames, not full paths, so
+    the same corpus seen at /mnt/corpus locally and bucket/corpus via
+    an object-store mount fingerprints identically (shard assignment
+    is basename-hashed for the same reason)."""
     h = hashlib.md5()
-    for p in sorted(paths):
+    for p in sorted(paths, key=lambda x: x.rsplit("/", 1)[-1]):
         fsys, fp = fsio.resolve_fs(p, filesystem)
-        h.update(p.encode())
+        h.update(p.rsplit("/", 1)[-1].encode())
         h.update(str(fsio.file_size(fsys, fp)).encode())
     return h.hexdigest()
 
@@ -89,7 +93,14 @@ def load_manifests(out_dir: str, *, filesystem=None) -> dict[str, dict]:
     mdir = fsio.join(root, "_manifest")
     out = {}
     for f in fsio.listdir(fsys, mdir, suffix=".json"):
-        out[f[:-5]] = json.loads(fsio.read_text(fsys, fsio.join(mdir, f)))
+        try:
+            out[f[:-5]] = json.loads(fsio.read_text(fsys, fsio.join(mdir, f)))
+        except (ValueError, OSError):
+            # a truncated/corrupt manifest (crash mid-write on a
+            # filesystem without atomic commit) means the shard is NOT
+            # done — treat as absent so resume recomputes that one
+            # shard instead of aborting the whole run
+            continue
     return out
 
 

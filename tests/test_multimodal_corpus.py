@@ -32,7 +32,7 @@ def test_media_table_deterministic():
 
 def test_image_decode_plumbing(ray_session):
     ds = rd.from_arrow(mm.synth_media_table(24))
-    feats, frames, audio = mm.media_pipeline(ds, concurrency=1, batch_size=4)
+    feats, frames, audio = mm.media_pipeline(ds, concurrency=1, batch_size=4, ffmpeg=None)
     frows = feats.take_all()
     assert len(frows) == 8  # 24/3 images
     for r in frows:

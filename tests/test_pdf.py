@@ -140,3 +140,50 @@ def test_bfrange_forms():
     assert width == 2
     assert [mapping[c] for c in (0x41, 0x42, 0x43)] == ["a", "b", "c"]
     assert mapping[0x100] == "X" and mapping[0x101] == "Y"
+
+
+def test_multipage_font_name_collision():
+    """Two pages both call their font /F1: page 1 plain Type1 text,
+    page 2 a ToUnicode-mapped font. A flat font map applied page 2's
+    CMap to page 1 and silently dropped its text (code-review r5)."""
+    import zlib
+
+    cmap = (
+        b"begincodespacerange <0000> <FFFF> endcodespacerange\n"
+        b"1 beginbfchar\n<0041> <0058>\nendbfchar"
+    )
+    cz = zlib.compress(cmap)
+    c1 = b"BT /F1 10 Tf (Hello) Tj ET"
+    c2 = b"BT /F1 10 Tf <0041> Tj ET"
+    pdf = (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<< /Type /Page /Resources << /Font << /F1 5 0 R >> >> "
+        b"/Contents 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Length " + str(len(c1)).encode() + b" >>\nstream\n"
+        + c1 + b"\nendstream\nendobj\n"
+        b"3 0 obj\n<< /Type /Page /Resources << /Font << /F1 6 0 R >> >> "
+        b"/Contents 4 0 R >>\nendobj\n"
+        b"4 0 obj\n<< /Length " + str(len(c2)).encode() + b" >>\nstream\n"
+        + c2 + b"\nendstream\nendobj\n"
+        b"5 0 obj\n<< /Type /Font /Subtype /Type1 >>\nendobj\n"
+        b"6 0 obj\n<< /Type /Font /ToUnicode 7 0 R >>\nendobj\n"
+        b"7 0 obj\n<< /Length " + str(len(cz)).encode()
+        + b" /Filter /FlateDecode >>\nstream\n" + cz + b"\nendstream\nendobj\n"
+    )
+    assert extract_pdf_text(pdf) == "Hello\nX"
+
+
+def test_bfrange_surrogate_base_sanitized():
+    """A hostile bfrange base in the surrogate range must map to
+    U+FFFD — a lone surrogate in the output crashes Arrow string
+    builders downstream (never-raises contract)."""
+    from knowledge_graph_ray.functions.pdf import _parse_cmap
+
+    data = b"1 beginbfrange\n<41> <42> <D7FF>\nendbfrange"
+    width, mapping = _parse_cmap(data)
+    assert mapping[0x41] == "퟿"  # last valid BMP cp before surrogates
+    assert mapping[0x42] == "�"       # D800 -> replacement, not chr(0xD800)
+    # and the string is Arrow-encodable
+    import pyarrow as pa
+
+    pa.array([mapping[0x42]])

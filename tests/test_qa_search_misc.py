@@ -178,3 +178,34 @@ def test_write_combined_doc_s12(tmp_path, ray_session):
         "################## Spørgsmål 2 ##################\n\ntwo\n"
         "################## Spørgsmål 10 ##################\n\nten\n"
     )
+
+
+def test_training_pairs_rejects_sparse_ids(ray_session):
+    """md5-derived (sparse) doc ids must raise loudly — the mod-space
+    negative join would otherwise emit ZERO label-0 rows silently."""
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from knowledge_graph_ray.functions.qa import training_pairs
+
+    pairs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([-8202043845838036568], pa.int64()),
+                "pair_idx": pa.array([0], pa.int64()),
+                "question": pa.array(["q"]),
+                "answer": pa.array(["a"]),
+            }
+        )
+    )
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([-8202043845838036568], pa.int64()),
+                "text": pa.array(["t"]),
+            }
+        )
+    )
+    with pytest.raises(Exception, match="dense doc ids"):
+        training_pairs(pairs, docs, 10).take_all()
